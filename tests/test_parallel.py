@@ -1,0 +1,99 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: data-parallel SFR-on
+steps must be numerically identical to single-device execution (pjit inserts
+the grad psum via the loss mean — the TPU replacement for DataParallel,
+SURVEY.md section 2.5)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uurg_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params_fsdp,
+)
+from uurg_tpu.parallel.mesh import fsdp_spec
+from jax.sharding import PartitionSpec as P
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({"data": 4, "model": 2})
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh2 = make_mesh({"data": -1})
+    assert mesh2.shape == {"data": 8}
+
+
+def test_fsdp_spec_rules():
+    assert fsdp_spec((8,), "model", 2, min_size=4) == P("model")
+    assert fsdp_spec((3, 128), "model", 2, min_size=4) == P(None, "model")
+    assert fsdp_spec((3,), "model", 2, min_size=1024) == P()  # too small
+    assert fsdp_spec((5, 7), "model", 2, min_size=1) == P()  # indivisible
+
+
+def test_sharded_matches_unsharded_train_step():
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+
+    def loss(params, batch, rng):
+        x, y = batch
+        pred = x @ params["w"] + params["b"]
+        return jnp.mean((pred - y) ** 2)
+
+    cfg = SFRonConfig(n_iters=4, forget_alpha=0.5, alpha_sched="const",
+                      forget_clip=1.0, remain_clip=1.0)
+    opt = make_optimizer("adam", 1e-2)
+    fl = lambda p, b, k: -loss(p, b, k)
+    step = make_sfron_step(cfg, opt, fl, loss, donate=False)
+
+    kx = jax.random.key(0)
+    fb = (jax.random.normal(kx, (16, 4)), jnp.ones((16, 4)))
+    rb = (jax.random.normal(jax.random.key(1), (16, 4)), -jnp.ones((16, 4)))
+
+    # single-device
+    state = init_state(params, opt)
+    s1, m1 = step(state, fb, rb, jax.random.key(2))
+
+    # data-parallel over 8 devices
+    mesh = make_mesh({"data": 8})
+    state_r = replicate(init_state(params, opt), mesh)
+    fb_s = shard_batch(fb, mesh)
+    rb_s = shard_batch(rb, mesh)
+    s2, m2 = step(state_r, fb_s, rb_s, jax.random.key(2))
+
+    np.testing.assert_allclose(np.asarray(s1.params["w"]),
+                               np.asarray(s2.params["w"]), rtol=2e-5, atol=1e-6)
+    assert float(m1["remain_loss"]) == pytest.approx(
+        float(m2["remain_loss"]), rel=1e-5)
+
+
+def test_fsdp_sharded_apply_matches_replicated():
+    from uurg_tpu.models.unet_cond import UNetConfig, init_unet
+
+    cfg = UNetConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(4,), dropout=0.0, resolution=8,
+                     dtype=jnp.float32)
+    model, params = init_unet(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (8, 8, 8, 3))
+    t = jnp.zeros((8,), jnp.int32)
+    c = jnp.zeros((8,), jnp.int32)
+
+    ref = model.apply({"params": params}, x, t, c)
+
+    mesh = make_mesh({"data": 4, "model": 2})
+    params_s = shard_params_fsdp(params, mesh, axis="model", min_size=64)
+    xs = jax.device_put(x, batch_sharding(mesh))
+
+    out = jax.jit(
+        lambda p, xx: model.apply({"params": p}, xx, t, c)
+    )(params_s, xs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,79 @@
+"""Pytree utilities shared by the unlearning engine.
+
+These replace the reference's cross-cutting ``named_parameters()`` loops
+(Classification/unlearn/sfron.py:202-204, DDPM/runners/diffusion.py:1126-1129,
+DiT/forget.py:289-292, SD/train-scripts/nsfw_removal.py:157-160) with single
+``jax.tree_util`` expressions that XLA fuses into the surrounding train step.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+PyTree = Any
+
+
+def tree_mul(a: PyTree, b: PyTree) -> PyTree:
+    """Elementwise product of two matching pytrees (e.g. grads * mask)."""
+    return jax.tree_util.tree_map(lambda x, y: x * y.astype(x.dtype), a, b)
+
+
+def tree_lerp(new: PyTree, old: PyTree, weight_old) -> PyTree:
+    """``(1 - w) * new + w * old`` — the EMA/fast-slow mixing primitive.
+
+    Covers all three reference EMA variants (DDPM/models/ema.py:5-51,
+    Classification/unlearn/sfron.py:30-37, DiT/forget.py:52-62).
+    """
+    return jax.tree_util.tree_map(
+        lambda n, o: (1.0 - weight_old) * n + weight_old * o, new, old
+    )
+
+
+def global_norm(tree: PyTree) -> jnp.ndarray:
+    """L2 norm over every leaf, matching torch.nn.utils.clip_grad_norm_."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
+
+
+def clip_by_global_norm(tree: PyTree, max_norm: float) -> tuple[PyTree, jnp.ndarray]:
+    """Scale the whole tree so its global norm is at most ``max_norm``."""
+    norm = global_norm(tree)
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda l: l * scale.astype(l.dtype), tree), norm
+
+
+def tree_zeros_like(tree: PyTree, dtype=None) -> PyTree:
+    return jax.tree_util.tree_map(
+        lambda l: jnp.zeros_like(l, dtype=dtype or l.dtype), tree
+    )
+
+
+def tree_size(tree: PyTree) -> int:
+    return sum(l.size for l in jax.tree_util.tree_leaves(tree))
+
+
+def tree_count_nonzero(tree: PyTree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return sum(jnp.count_nonzero(l) for l in leaves)
+
+
+def sparsity(tree: PyTree) -> jnp.ndarray:
+    """Fraction of exactly-zero entries (reference calc_sparsity,
+    Classification/unlearn/sfron.py:19-28)."""
+    total = tree_size(tree)
+    nz = tree_count_nonzero(tree)
+    return 1.0 - nz / total
+
+
+def tree_cast(tree: PyTree, dtype) -> PyTree:
+    return jax.tree_util.tree_map(lambda l: l.astype(dtype), tree)
+
+
+def tree_add(a: PyTree, b: PyTree) -> PyTree:
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def tree_scale(tree: PyTree, s) -> PyTree:
+    return jax.tree_util.tree_map(lambda l: l * s, tree)

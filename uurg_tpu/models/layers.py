@@ -1,0 +1,143 @@
+"""Shared neural-net building blocks (Flax, NHWC, TPU-friendly dtypes).
+
+Compute runs in a configurable dtype (bfloat16 on TPU for MXU throughput);
+parameters and normalization statistics stay float32.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding, tensor2tensor convention
+    (parity: DDPM/models/diffusion.py:17-35 — [sin | cos] concat, odd dims
+    zero-padded)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def swish(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(x)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32, eps=1e-6) computed in float32 regardless of input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        h = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return h.astype(orig_dtype)
+
+
+class SelfAttention2D(nn.Module):
+    """Single-head spatial self-attention over H*W positions.
+
+    Parity: DDPM/models/diffusion.py:148-192 (1x1 q/k/v projections,
+    1/sqrt(C) scaling, residual). QK^T/softmax/AV run as batched matmuls in
+    float32 on the MXU.
+    """
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        h = GroupNorm32()(x)
+        q = nn.Dense(C, dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
+        k = nn.Dense(C, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
+        v = nn.Dense(C, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn * (C ** -0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bqk,bkc->bqc", attn.astype(self.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).reshape(B, H, W, C)
+        out = nn.Dense(C, dtype=self.dtype, name="proj_out")(out)
+        return x + out
+
+
+class ResnetBlockDDPM(nn.Module):
+    """DDPM residual block conditioned on [time-emb | class-emb].
+
+    Parity: DDPM/models/diffusion.py:85-145 — a single Linear projects the
+    concatenated (temb, cemb) through swish and is added channelwise.
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
+                 *, deterministic: bool = True) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        h = swish(GroupNorm32()(x))
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
+        emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
+                           name="emb_proj")(swish(emb))
+        h = h + emb_out[:, None, None, :]
+        h = swish(GroupNorm32()(h))
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="shortcut")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv with (0,1) asymmetric padding, or 2x2 avg-pool
+    (parity: DDPM/models/diffusion.py:65-82)."""
+
+    with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.with_conv:
+            return nn.Conv(
+                x.shape[-1], (3, 3), strides=(2, 2),
+                padding=((0, 1), (0, 1)), dtype=self.dtype, name="conv",
+            )(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class Upsample(nn.Module):
+    """Nearest-neighbor 2x upsample + conv
+    (parity: DDPM/models/diffusion.py:49-62)."""
+
+    with_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        if self.with_conv:
+            x = nn.Conv(C, (3, 3), dtype=self.dtype, name="conv")(x)
+        return x

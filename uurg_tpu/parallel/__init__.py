@@ -1,0 +1,7 @@
+from uurg_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicate,
+    shard_params_fsdp,
+    shard_batch,
+)

@@ -1,0 +1,102 @@
+"""Optax optimizer factories matching the reference's torch optimizers.
+
+torch.optim semantics replicated exactly:
+- Adam with ``weight_decay`` is L2-on-gradient (coupled), so decay is added
+  BEFORE the Adam moment update (unlike optax.adamw).
+- SGD(momentum, weight_decay) is grad += wd*p; buf = m*buf + grad.
+- AdamW is decoupled decay (optax.adamw).
+
+All optimizers are wrapped in ``optax.inject_hyperparams`` so a jitted train
+step can drive the learning rate from its own step counter — needed because
+the SFR-on step applies the optimizer TWICE per iteration (forget + remain)
+while the reference's lr scheduler ticks once per iteration
+(Classification/unlearn/sfron.py:172-174,259).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+
+def cosine_annealing(base_lr: float, total_steps: int):
+    """torch CosineAnnealingLR / reference cosine_lr_scheduler:
+    lr(t) = base * (1 + cos(pi * t / T)) / 2."""
+
+    def sched(step):
+        return base_lr * (1.0 + jnp.cos(jnp.pi * step / total_steps)) / 2.0
+
+    return sched
+
+
+def _sgd(learning_rate, momentum=0.9, weight_decay=0.0):
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if momentum:
+        parts.append(optax.trace(decay=momentum))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
+def _adam_l2(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
+             amsgrad=False):
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    if amsgrad:
+        parts.append(optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps))
+    else:
+        parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*parts)
+
+
+def _adamw(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0):
+    return optax.adamw(learning_rate, b1=b1, b2=b2, eps=eps,
+                       weight_decay=weight_decay)
+
+
+def make_optimizer(
+    name: str,
+    lr: float,
+    *,
+    momentum: float = 0.9,
+    weight_decay: float = 0.0,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    amsgrad: bool = False,
+) -> optax.GradientTransformation:
+    name = name.lower()
+    # only learning_rate is injected (mutable inside jit); everything else
+    # stays a static python constant so factory `if`s trace correctly
+    if name == "sgd":
+        return optax.inject_hyperparams(
+            _sgd, static_args=("momentum", "weight_decay"))(
+            learning_rate=lr, momentum=momentum, weight_decay=weight_decay)
+    if name == "adam":
+        return optax.inject_hyperparams(
+            _adam_l2, static_args=("b1", "b2", "eps", "weight_decay",
+                                   "amsgrad"))(
+            learning_rate=lr, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay, amsgrad=amsgrad)
+    if name == "adamw":
+        return optax.inject_hyperparams(
+            _adamw, static_args=("b1", "b2", "eps", "weight_decay"))(
+            learning_rate=lr, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay)
+    raise NotImplementedError(f"Optimizer {name!r}")
+
+
+def build_reference_optimizer(cfg) -> optax.GradientTransformation:
+    """From a reference-schema ``optim`` config section
+    (DDPM/functions/__init__.py get_optimizer parity)."""
+    o = cfg.optim
+    return make_optimizer(
+        o.optimizer,
+        o.lr,
+        weight_decay=o.get("weight_decay", 0.0),
+        beta1=o.get("beta1", 0.9),
+        eps=o.get("eps", 1e-8),
+        amsgrad=o.get("amsgrad", False),
+    )
