@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""DDPM sampling CLI — reference-flag-compatible (DDPM/sample.py:15-103).
+
+Modes:
+  sample_fid      — n_samples per remaining class -> PNG folder for FID
+  sample_classes  — grid of samples for every class
+  visualization   — one grid image of all classes
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--mode", type=str, default="sample_fid",
+                   choices=["sample_fid", "sample_classes", "visualization"])
+    p.add_argument("--ckpt_folder", type=str, required=True)
+    p.add_argument("--label_to_forget", type=int, default=-1,
+                   help="class excluded from sample_fid (-1 = none)")
+    p.add_argument("--cond_scale", type=float, default=2.0)
+    p.add_argument("--n_samples_per_class", type=int, default=500)
+    p.add_argument("--sample_steps", type=int, default=50)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "ddpm"])
+    p.add_argument("--use_ema", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--out", type=str, default="")
+    return p.parse_args()
+
+
+def save_png_folder(images: np.ndarray, labels: np.ndarray, out_dir: str,
+                    start_index: int = 0):
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, (img, lab) in enumerate(zip(images, labels)):
+        Image.fromarray(img).save(
+            os.path.join(out_dir, f"{int(lab)}_{start_index + i:06d}.png"))
+
+
+def save_grid(images: np.ndarray, path: str, ncol: int = 10):
+    from PIL import Image
+
+    n, h, w, c = images.shape
+    nrow = (n + ncol - 1) // ncol
+    grid = np.zeros((nrow * h, ncol * w, c), np.uint8)
+    for i, img in enumerate(images):
+        r, col = divmod(i, ncol)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
+    Image.fromarray(grid).save(path)
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    from uurg_tpu.core.config import load_config
+    from uurg_tpu.workloads import ddpm_runner as R
+    from uurg_tpu.workloads.ddpm import DDPMWorkload
+
+    config = load_config(args.config)
+    wl = DDPMWorkload.from_config(config)
+    params = R.load_params(args, config, wl, use_ema=args.use_ema)
+    out = args.out or os.path.join(args.ckpt_folder, "samples", args.mode)
+
+    n_classes = config.data.n_classes
+    if args.mode == "sample_fid":
+        classes = [c for c in range(n_classes) if c != args.label_to_forget]
+        # multi-host: shard classes*samples by process (sample_ddp.py analog)
+        import jax
+        pid, pcount = jax.process_index(), jax.process_count()
+        labels = np.repeat(classes, args.n_samples_per_class)[pid::pcount]
+        imgs = R.sample_images(
+            args, config, params, labels, num_steps=args.sample_steps,
+            method=args.sampler, cond_scale=args.cond_scale, seed=args.seed + pid)
+        save_png_folder(imgs, labels, out, start_index=pid * len(labels))
+    else:
+        per = 10 if args.mode == "visualization" else args.n_samples_per_class
+        labels = np.tile(np.arange(n_classes), per)
+        imgs = R.sample_images(
+            args, config, params, labels, num_steps=args.sample_steps,
+            method=args.sampler, cond_scale=args.cond_scale, seed=args.seed)
+        os.makedirs(out, exist_ok=True)
+        save_grid(imgs, os.path.join(out, "grid.png"), ncol=n_classes)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

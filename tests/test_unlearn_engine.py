@@ -155,7 +155,9 @@ def _linear_setup(mask=None, **cfg_kwargs):
             return jnp.mean((x @ params["w"] - y) ** 2)
         return fn
 
-    forget_batch = (jnp.asarray([[1.0, 0.0]]), jnp.asarray([1.0]))  # loss 0 at w
+    # forget loss = (w[0] - 2)^2 = 1 at init (nonzero ascent gradient);
+    # remain loss = (w[1] - 3)^2 = 4 at init
+    forget_batch = (jnp.asarray([[1.0, 0.0]]), jnp.asarray([2.0]))
     remain_batch = (jnp.asarray([[0.0, 1.0]]), jnp.asarray([3.0]))
 
     defaults = dict(n_iters=10, forget_alpha=1.0, remain_alpha=1.0,

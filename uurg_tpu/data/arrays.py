@@ -1,0 +1,110 @@
+"""Host-side array datasets and infinite shuffled batchers.
+
+The TPU-native replacement for the reference's DataLoader + ``cycle()`` idiom
+(DDPM/functions/__init__.py:123-126 et al.): datasets are in-memory numpy
+arrays (CIFAR-scale data fits trivially), batches are drawn by an infinite
+shuffled index stream, and multi-host sharding is a process-strided slice of
+that stream — no worker processes, no collate, no scatter/gather.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """Images NHWC uint8 or float32 in [0,1]; labels int."""
+
+    images: np.ndarray
+    labels: np.ndarray
+
+    def __post_init__(self):
+        assert len(self.images) == len(self.labels)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    def subset(self, idx: np.ndarray) -> "ArrayDataset":
+        return ArrayDataset(self.images[idx], self.labels[idx])
+
+    def images_f32(self) -> np.ndarray:
+        if self.images.dtype == np.uint8:
+            return self.images.astype(np.float32) / 255.0
+        return self.images.astype(np.float32)
+
+
+def random_flip_batch(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Horizontal random flip, per-sample (data.random_flip: true)."""
+    flip = rng.random(len(x)) < 0.5
+    x = x.copy()
+    x[flip] = x[flip, :, ::-1, :]
+    return x
+
+
+def pad_crop_batch(x: np.ndarray, pad: int, rng: np.random.Generator) -> np.ndarray:
+    """Random-crop after reflection-free zero padding (classification aug)."""
+    n, h, w, c = x.shape
+    padded = np.zeros((n, h + 2 * pad, w + 2 * pad, c), x.dtype)
+    padded[:, pad:-pad, pad:-pad, :] = x
+    out = np.empty_like(x)
+    ys = rng.integers(0, 2 * pad + 1, n)
+    xs = rng.integers(0, 2 * pad + 1, n)
+    for i in range(n):
+        out[i] = padded[i, ys[i] : ys[i] + h, xs[i] : xs[i] + w, :]
+    return out
+
+
+def epoch_batches(
+    ds: ArrayDataset,
+    batch_size: int,
+    *,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+    transform: Callable | None = None,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """One pass over the dataset (for Fisher accumulation / eval)."""
+    rng = np.random.default_rng(seed)
+    idx = np.arange(len(ds))
+    if shuffle:
+        rng.shuffle(idx)
+    images = ds.images_f32()
+    end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
+    for start in range(0, end, batch_size):
+        take = idx[start : start + batch_size]
+        x = images[take]
+        if transform is not None:
+            x = transform(x, rng)
+        yield x, ds.labels[take].astype(np.int32)
+
+
+def infinite_batches(
+    ds: ArrayDataset,
+    batch_size: int,
+    *,
+    seed: int = 0,
+    transform: Callable | None = None,
+    process_index: int = 0,
+    process_count: int = 1,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """Infinite reshuffled stream (the ``cycle(DataLoader)`` replacement).
+
+    With multiple hosts, each host takes a strided slice of every global
+    batch — the grain/tfds-style per-host sharding from SURVEY.md section 7.
+    """
+    rng = np.random.default_rng(seed)
+    images = ds.images_f32()
+    labels = ds.labels.astype(np.int32)
+    n = len(ds)
+    while True:
+        perm = rng.permutation(n)
+        for start in range(0, n - batch_size + 1, batch_size):
+            take = perm[start : start + batch_size]
+            take = take[process_index::process_count]
+            x = images[take]
+            if transform is not None:
+                x = transform(x, rng)
+            yield x, labels[take]

@@ -1,0 +1,123 @@
+"""Dataset loaders: CIFAR-10/100, SVHN, TinyImageNet, image folders, synthetic.
+
+Loaders read the standard on-disk formats directly (no torchvision
+dependency): CIFAR python pickle batches, SVHN .mat, image folders via PIL.
+Parity targets: Classification/dataset/{cifar10,cifar100,SVHN,
+tinyimagenet}.py, DDPM/dataset/__init__.py:30-118, DiT/unlearn_dataset.py.
+
+``synthetic_dataset`` provides deterministic fake data for tests and
+benchmarks (the environment has no network egress).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Sequence
+
+import numpy as np
+
+from uurg_tpu.core.registry import Registry
+from uurg_tpu.data.arrays import ArrayDataset
+
+dataset_registry = Registry("dataset")
+
+
+def synthetic_dataset(n: int = 512, resolution: int = 32, channels: int = 3,
+                      n_classes: int = 10, seed: int = 0) -> ArrayDataset:
+    """Class-structured fake images: each class has a distinct mean pattern
+    so unlearning/eval logic is actually exercised."""
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, n_classes, n).astype(np.int64)
+    base = rng.random((n_classes, resolution, resolution, channels)).astype(
+        np.float32)
+    noise = rng.normal(0, 0.1, (n, resolution, resolution, channels))
+    images = np.clip(base[labels] + noise.astype(np.float32), 0, 1)
+    return ArrayDataset(images, labels)
+
+
+def load_cifar10(root: str, train: bool = True) -> ArrayDataset:
+    """Read cifar-10-batches-py pickle files -> NHWC uint8."""
+    d = os.path.join(root, "cifar-10-batches-py")
+    files = ([f"data_batch_{i}" for i in range(1, 6)] if train
+             else ["test_batch"])
+    xs, ys = [], []
+    for fname in files:
+        with open(os.path.join(d, fname), "rb") as f:
+            entry = pickle.load(f, encoding="latin1")
+        xs.append(entry["data"])
+        ys.extend(entry.get("labels", entry.get("fine_labels")))
+    x = np.concatenate(xs).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return ArrayDataset(np.ascontiguousarray(x), np.asarray(ys, np.int64))
+
+
+def load_cifar100(root: str, train: bool = True) -> ArrayDataset:
+    d = os.path.join(root, "cifar-100-python")
+    fname = "train" if train else "test"
+    with open(os.path.join(d, fname), "rb") as f:
+        entry = pickle.load(f, encoding="latin1")
+    x = np.asarray(entry["data"]).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    return ArrayDataset(np.ascontiguousarray(x),
+                        np.asarray(entry["fine_labels"], np.int64))
+
+
+def load_svhn(root: str, train: bool = True) -> ArrayDataset:
+    import scipy.io as sio
+
+    fname = "train_32x32.mat" if train else "test_32x32.mat"
+    mat = sio.loadmat(os.path.join(root, fname))
+    x = np.transpose(mat["X"], (3, 0, 1, 2))  # HWCN -> NHWC
+    y = mat["y"].astype(np.int64).squeeze()
+    y[y == 10] = 0
+    return ArrayDataset(np.ascontiguousarray(x), y)
+
+
+def load_image_folder(root: str, resolution: int,
+                      class_names: Sequence[str] | None = None,
+                      center_crop: bool = True) -> ArrayDataset:
+    """ImageFolder-style loader (subdir per class), PIL-based.
+
+    ``class_names`` restricts to a class subset while PRESERVING the global
+    class->index map (DiT/unlearn_dataset.py:37-292 TargetedImageFolder)."""
+    from PIL import Image
+
+    all_classes = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d)))
+    class_to_idx = {c: i for i, c in enumerate(all_classes)}
+    wanted = class_names if class_names is not None else all_classes
+    xs, ys = [], []
+    for cname in wanted:
+        cdir = os.path.join(root, cname)
+        for fname in sorted(os.listdir(cdir)):
+            if not fname.lower().endswith((".png", ".jpg", ".jpeg", ".webp")):
+                continue
+            img = Image.open(os.path.join(cdir, fname)).convert("RGB")
+            if center_crop:
+                img = _center_crop_resize(img, resolution)
+            else:
+                img = img.resize((resolution, resolution), Image.BICUBIC)
+            xs.append(np.asarray(img, np.uint8))
+            ys.append(class_to_idx[cname])
+    if not xs:
+        raise FileNotFoundError(f"no images under {root}")
+    return ArrayDataset(np.stack(xs), np.asarray(ys, np.int64))
+
+
+def _center_crop_resize(img, size: int):
+    """ADM-style center crop (DiT/forget.py center_crop_arr parity)."""
+    from PIL import Image
+
+    while min(img.size) >= 2 * size:
+        img = img.resize((img.size[0] // 2, img.size[1] // 2), Image.BOX)
+    scale = size / min(img.size)
+    img = img.resize((round(img.size[0] * scale), round(img.size[1] * scale)),
+                     Image.BICUBIC)
+    arr = np.asarray(img)
+    y = (arr.shape[0] - size) // 2
+    x = (arr.shape[1] - size) // 2
+    return Image.fromarray(arr[y : y + size, x : x + size])
+
+
+dataset_registry.register("CIFAR10", load_cifar10)
+dataset_registry.register("CIFAR100", load_cifar100)
+dataset_registry.register("SVHN", load_svhn)
+dataset_registry.register("synthetic", synthetic_dataset)

@@ -1,0 +1,49 @@
+"""Orbax checkpointing.
+
+Replaces the reference's torch.save formats (SURVEY.md section 5): DDPM's
+list-format ``ckpt.pth`` (runners/diffusion.py:1187-1199), DiT's dict format
+(forget.py:347-356), Classification's bare state-dict. One format here:
+an Orbax composite of {params, ema_params, opt_state, step, model_state}
+plus a JSON metadata sidecar. Torch interop lives in
+``uurg_tpu.io.torch_interop``.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: str, tree: Any, metadata: dict | None = None) -> None:
+    """Save a pytree checkpoint at ``path`` (directory)."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    host_tree = jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+    ckptr.save(path, host_tree, force=True)
+    ckptr.wait_until_finished()
+    if metadata is not None:
+        with open(os.path.join(path, "uurg_metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+
+
+def restore_checkpoint(path: str, target: Any | None = None) -> Any:
+    """Restore; ``target`` (a pytree of like-shaped arrays) guides structure."""
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is not None:
+        host_target = jax.tree_util.tree_map(np.asarray,
+                                             jax.device_get(target))
+        return ckptr.restore(path, host_target)
+    return ckptr.restore(path)
+
+
+def load_metadata(path: str) -> dict | None:
+    meta = os.path.join(os.path.abspath(path), "uurg_metadata.json")
+    if os.path.exists(meta):
+        with open(meta) as f:
+            return json.load(f)
+    return None

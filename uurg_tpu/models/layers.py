@@ -44,8 +44,12 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         orig_dtype = x.dtype
+        channels = x.shape[-1]
+        groups = self.num_groups
+        while channels % groups != 0:  # tiny test configs (<32 channels)
+            groups //= 2
         h = nn.GroupNorm(
-            num_groups=self.num_groups,
+            num_groups=groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
@@ -66,7 +70,7 @@ class SelfAttention2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
-        h = GroupNorm32()(x)
+        h = GroupNorm32(name="norm")(x)
         q = nn.Dense(C, dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
         k = nn.Dense(C, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
         v = nn.Dense(C, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
@@ -96,12 +100,12 @@ class ResnetBlockDDPM(nn.Module):
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
                  *, deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = swish(GroupNorm32()(x))
+        h = swish(GroupNorm32(name="norm1")(x))
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)
         emb_out = nn.Dense(self.out_channels, dtype=self.dtype,
                            name="emb_proj")(swish(emb))
         h = h + emb_out[:, None, None, :]
-        h = swish(GroupNorm32()(h))
+        h = swish(GroupNorm32(name="norm2")(h))
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv2")(h)
         if in_ch != self.out_channels:

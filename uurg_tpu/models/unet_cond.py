@@ -152,7 +152,7 @@ class CondUNet(nn.Module):
                              name=f"up_{i_level}_upsample")(h)
                 curr_res *= 2
 
-        h = swish(GroupNorm32()(h))
+        h = swish(GroupNorm32(name="norm_out")(h))
         h = nn.Conv(cfg.out_channels, (3, 3), dtype=jnp.float32,
                     param_dtype=jnp.float32, name="conv_out")(
             h.astype(jnp.float32))
@@ -160,10 +160,14 @@ class CondUNet(nn.Module):
 
 
 def init_unet(key: jax.Array, cfg: UNetConfig):
-    """Initialize (model, params) with dummy inputs."""
+    """Initialize (model, params) with dummy inputs.
+
+    init is jitted: a single device dispatch instead of one per parameter
+    (critical when the accelerator sits behind an RPC tunnel).
+    """
     model = CondUNet(cfg)
     x = jnp.zeros((1, cfg.resolution, cfg.resolution, cfg.in_channels))
     t = jnp.zeros((1,), jnp.int32)
     c = jnp.zeros((1,), jnp.int32)
-    variables = model.init({"params": key}, x, t, c)
+    variables = jax.jit(model.init)({"params": key}, x, t, c)
     return model, variables["params"]

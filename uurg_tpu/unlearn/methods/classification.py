@@ -1,0 +1,427 @@
+"""The nine classification unlearning methods as jitted-step recipes.
+
+Parity targets (Classification/unlearn/*): baseline, retrain, finetune,
+gradient_ascent, random_label, bad_teacher, scrub, salun, sfron. Each method
+is a function ``run(ctx, key) -> (params, batch_stats)`` over an
+:class:`UnlearnContext`; every inner loop body is a single jitted step.
+
+Default hyperparameters mirror the reference's CIFAR-10 settings (cited per
+method below).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from uurg_tpu.core import tree as tr
+from uurg_tpu.core.registry import Registry
+from uurg_tpu.data.arrays import ArrayDataset, infinite_batches, epoch_batches
+from uurg_tpu.train import cosine_annealing, make_optimizer
+from uurg_tpu.unlearn import (
+    SFRonConfig,
+    accumulate_fisher,
+    fisher_ratio_mask,
+    make_sfron_step,
+    topk_saliency_mask,
+)
+from uurg_tpu.unlearn.sfron import init_state
+from uurg_tpu.workloads.classification import Classifier, cross_entropy
+
+unlearn_method_registry = Registry("unlearn method")
+
+
+@dataclasses.dataclass
+class UnlearnContext:
+    classifier: Classifier
+    params: Any
+    batch_stats: Any
+    retain_train: ArrayDataset
+    forget_train: ArrayDataset
+    num_classes: int
+    batch_size: int = 256
+    seed: int = 0
+    save_path: str | None = None
+    transform: Callable | None = None   # train-time augmentation
+    init_fn: Callable | None = None     # fresh (params, batch_stats) for retrain/bad_teacher
+    overrides: dict = dataclasses.field(default_factory=dict)
+
+    def hp(self, name, default):
+        return self.overrides.get(name, default)
+
+
+def _epochs_to_steps(ds_len: int, batch_size: int, epochs: int) -> int:
+    return max(1, ds_len // batch_size) * epochs
+
+
+def _train_epochs(ctx: UnlearnContext, params, batch_stats, ds: ArrayDataset,
+                  *, lr: float, epochs: int, opt_name: str = "sgd",
+                  momentum: float = 0.9, weight_decay: float = 5e-4,
+                  loss_builder: Callable | None = None, clip: float | None = None,
+                  train_mode: bool = True, mask=None, seed: int = 0):
+    """Generic epoch trainer used by finetune/retrain/random-label/salun.
+
+    The lr schedule is the reference's per-EPOCH CosineAnnealingLR(T_max =
+    epochs) — constant within an epoch.
+    """
+    cls = ctx.classifier
+    opt = make_optimizer(opt_name, lr, momentum=momentum,
+                         weight_decay=weight_decay)
+    opt_state = jax.jit(opt.init)(params)
+    steps_per_epoch = max(1, len(ds) // ctx.batch_size)
+
+    def loss_fn(p, bs, batch, key):
+        if loss_builder is not None:
+            return loss_builder(p, bs, batch, key)
+        if train_mode:
+            logits, new_bs = cls.train_apply(p, bs, batch[0])
+        else:
+            logits, new_bs = cls.eval_apply(p, bs, batch[0]), bs
+        return cross_entropy(logits, batch[1]), new_bs
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, batch, lr_now, key):
+        opt_state.hyperparams["learning_rate"] = lr_now
+        (loss, new_bs), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch_stats, batch, key), has_aux=True
+        )(params)
+        if mask is not None:
+            grads = tr.tree_mul(grads, mask)
+        if clip is not None:
+            grads, _ = tr.clip_by_global_norm(grads, clip)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    key = jax.random.key(seed)
+    for epoch in range(epochs):
+        lr_now = lr * (1.0 + np.cos(np.pi * epoch / epochs)) / 2.0
+        it = infinite_batches(ds, ctx.batch_size, seed=seed + epoch,
+                              transform=ctx.transform)
+        for _ in range(steps_per_epoch):
+            x, y = next(it)
+            key, sub = jax.random.split(key)
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state,
+                (jnp.asarray(x), jnp.asarray(y)), lr_now, sub)
+    return params, batch_stats
+
+
+# --- methods --------------------------------------------------------------
+
+@unlearn_method_registry.register("Baseline")
+def baseline(ctx: UnlearnContext, key=None):
+    """No-op (Classification/unlearn/baseline.py:4-8)."""
+    return ctx.params, ctx.batch_stats
+
+
+@unlearn_method_registry.register("Finetune")
+def finetune(ctx: UnlearnContext, key=None):
+    """Fine-tune on retain only, SGD lr 0.01 x 10 epochs
+    (Classification/unlearn/finetune.py:27-32)."""
+    return _train_epochs(ctx, ctx.params, ctx.batch_stats, ctx.retain_train,
+                         lr=ctx.hp("lr", 0.01), epochs=ctx.hp("epochs", 10),
+                         seed=ctx.seed)
+
+
+@unlearn_method_registry.register("Retrain")
+def retrain(ctx: UnlearnContext, key=None):
+    """Exact unlearning: re-init and train on retain, SGD lr 0.1 x 200 epochs
+    (Classification/unlearn/retrain.py:29-35)."""
+    assert ctx.init_fn is not None, "Retrain needs init_fn"
+    params, batch_stats = ctx.init_fn(jax.random.key(ctx.seed))
+    return _train_epochs(ctx, params, batch_stats, ctx.retain_train,
+                         lr=ctx.hp("lr", 0.1), epochs=ctx.hp("epochs", 200),
+                         seed=ctx.seed)
+
+
+@unlearn_method_registry.register("GradAscent")
+def grad_ascent(ctx: UnlearnContext, key=None):
+    """Negated CE on forget, model kept in eval() during ascent, grad-clip
+    0.1, SGD lr 1e-4 x 9 epochs (Classification/unlearn/
+    gradient_ascent.py:28-78)."""
+    cls = ctx.classifier
+
+    def neg_ce_eval_mode(p, bs, batch, key):
+        logits = cls.eval_apply(p, bs, batch[0])  # BN stats frozen
+        return -cross_entropy(logits, batch[1]), bs
+
+    return _train_epochs(ctx, ctx.params, ctx.batch_stats, ctx.forget_train,
+                         lr=ctx.hp("lr", 1e-4), epochs=ctx.hp("epochs", 9),
+                         loss_builder=neg_ce_eval_mode,
+                         clip=ctx.hp("max_norm", 0.1), seed=ctx.seed)
+
+
+def _relabel(ds: ArrayDataset, num_classes: int, seed: int) -> ArrayDataset:
+    """Random label != y per forget sample (Classification/unlearn/
+    random_label.py:41-60)."""
+    rng = np.random.default_rng(seed)
+    shift = rng.integers(1, num_classes, len(ds))
+    new_labels = (ds.labels + shift) % num_classes
+    return ArrayDataset(ds.images, new_labels.astype(ds.labels.dtype))
+
+
+def _merged(retain: ArrayDataset, forget: ArrayDataset):
+    """Merged dataset + forget-flag vector (UnLearnDataset semantics:
+    unlearn_method.py:23-41 — label 1 = forget sample)."""
+    images = np.concatenate([retain.images, forget.images])
+    labels = np.concatenate([retain.labels, forget.labels])
+    flags = np.concatenate([np.zeros(len(retain), np.int32),
+                            np.ones(len(forget), np.int32)])
+    return ArrayDataset(images, labels), flags
+
+
+@unlearn_method_registry.register("RandomLabel")
+def random_label(ctx: UnlearnContext, key=None, mask=None):
+    """Train on retain + randomly-relabeled forget, SGD lr 0.003 x 10 epochs
+    (Classification/unlearn/random_label.py:46-66,85-105)."""
+    relabeled = _relabel(ctx.forget_train, ctx.num_classes, ctx.seed)
+    merged = ArrayDataset(
+        np.concatenate([ctx.retain_train.images, relabeled.images]),
+        np.concatenate([ctx.retain_train.labels, relabeled.labels]))
+    return _train_epochs(ctx, ctx.params, ctx.batch_stats, merged,
+                         lr=ctx.hp("lr", 0.003), epochs=ctx.hp("epochs", 10),
+                         mask=mask, seed=ctx.seed)
+
+
+@unlearn_method_registry.register("SalUn")
+def salun(ctx: UnlearnContext, key=None):
+    """Top-k |forget-grad| hard mask x RandomLabel training, th=0.2, lr 0.007
+    (Classification/unlearn/salun.py:36-43,140-195)."""
+    cls = ctx.classifier
+
+    def neg_ce(p, batch, rng):
+        logits = cls.eval_apply(p, ctx.batch_stats, batch[0])
+        return -cross_entropy(logits, batch[1])
+
+    # accumulate grads of the negated CE over one forget epoch
+    grad_step = jax.jit(lambda acc, p, b: jax.tree_util.tree_map(
+        jnp.add, acc, jax.grad(neg_ce)(p, b, None)))
+    acc = tr.tree_zeros_like(ctx.params)
+    for x, y in epoch_batches(ctx.forget_train, ctx.batch_size,
+                              seed=ctx.seed):
+        acc = grad_step(acc, ctx.params, (jnp.asarray(x), jnp.asarray(y)))
+    mask = topk_saliency_mask(acc, ctx.hp("th", 0.2))
+
+    sub = dataclasses.replace(ctx, overrides={
+        "lr": ctx.hp("lr", 0.007), "epochs": ctx.hp("epochs", 10)})
+    return random_label(sub, key, mask=mask)
+
+
+@unlearn_method_registry.register("BadTeacher")
+def bad_teacher(ctx: UnlearnContext, key=None):
+    """KD from full teacher (retain) / random-init teacher (forget), KL mix
+    keyed on the forget flag, SGD lr 0.02 x 10 epochs
+    (Classification/unlearn/bad_teacher.py:17-145)."""
+    assert ctx.init_fn is not None, "BadTeacher needs init_fn"
+    cls = ctx.classifier
+    kl_T = ctx.hp("KL_temperature", 1.0)
+    full_params, full_bs = ctx.params, ctx.batch_stats
+    rand_params, rand_bs = ctx.init_fn(jax.random.key(ctx.seed + 1))
+
+    merged, flags = _merged(ctx.retain_train, ctx.forget_train)
+    merged_flagged = ArrayDataset(merged.images, flags)  # labels == flags
+    true_labels = merged.labels
+
+    opt = make_optimizer("sgd", ctx.hp("lr", 0.02), momentum=0.9,
+                         weight_decay=5e-4)
+    params, batch_stats = ctx.params, ctx.batch_stats
+    opt_state = jax.jit(opt.init)(params)
+    epochs = ctx.hp("epochs", 10)
+    steps_per_epoch = max(1, len(merged) // ctx.batch_size)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, x, flags_b, lr_now):
+        opt_state.hyperparams["learning_rate"] = lr_now
+        t_full = cls.eval_apply(full_params, full_bs, x)
+        t_rand = cls.eval_apply(rand_params, rand_bs, x)
+        f_soft = jax.nn.softmax(t_full / kl_T, -1)
+        u_soft = jax.nn.softmax(t_rand / kl_T, -1)
+        target = (flags_b[:, None] * u_soft
+                  + (1 - flags_b[:, None]) * f_soft)
+
+        def loss_fn(p):
+            logits, new_bs = cls.train_apply(p, batch_stats, x)
+            log_s = jax.nn.log_softmax(logits / kl_T, -1)
+            # torch F.kl_div(reduction='mean'): elementwise mean of
+            # t*(log t - log s) over batch*classes
+            from jax.scipy.special import xlogy
+            kl = xlogy(target, target) - target * log_s
+            return jnp.mean(kl), new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    # iterate over merged data with the forget flag as the auxiliary label
+    rng = np.random.default_rng(ctx.seed)
+    images = merged.images_f32()
+    for epoch in range(epochs):
+        lr_now = ctx.hp("lr", 0.02) * (1 + np.cos(np.pi * epoch / epochs)) / 2
+        perm = rng.permutation(len(merged))
+        for s in range(steps_per_epoch):
+            take = perm[s * ctx.batch_size : (s + 1) * ctx.batch_size]
+            x = images[take]
+            if ctx.transform is not None:
+                x = ctx.transform(x, rng)
+            params, batch_stats, opt_state, _ = step(
+                params, batch_stats, opt_state, jnp.asarray(x),
+                jnp.asarray(flags[take], jnp.float32), lr_now)
+    return params, batch_stats
+
+
+@unlearn_method_registry.register("SCRUB")
+def scrub(ctx: UnlearnContext, key=None):
+    """SCRUB max/min distillation (Classification/unlearn/scrub.py:17-277):
+    epochs <= msteps run a maximize pass (-KL to teacher on forget), every
+    epoch runs a minimize pass (gamma*CE + alpha*KL on retain), optional SWA
+    smoothing via param_dist."""
+    cls = ctx.classifier
+    kd_T = ctx.hp("kd_T", 4.0)
+    gamma, alpha = ctx.hp("gamma", 0.99), ctx.hp("alpha", 0.001)
+    smoothing = ctx.hp("smoothing", 0.0)
+    msteps = ctx.hp("msteps", 2)
+    sstart = ctx.hp("sstart", 10)
+    epochs = ctx.hp("sgda_epochs", 6)
+    lr = ctx.hp("sgda_learning_rate", 8e-5)
+
+    teacher_params, teacher_bs = ctx.params, ctx.batch_stats
+    params, batch_stats = ctx.params, ctx.batch_stats
+    swa_params = ctx.params
+    opt = make_optimizer("sgd", lr, momentum=0.9, weight_decay=5e-4)
+    opt_state = jax.jit(opt.init)(params)
+
+    def distill_kl(logit_s, logit_t):
+        p_s = jax.nn.log_softmax(logit_s / kd_T, -1)
+        p_t = jax.nn.softmax(logit_t / kd_T, -1)
+        from jax.scipy.special import xlogy
+        kl = jnp.sum(xlogy(p_t, p_t) - p_t * p_s)
+        return kl * (kd_T**2) / logit_s.shape[0]
+
+    def param_dist(p, swa):
+        leaves = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(jnp.subtract, p, swa))
+        return sum(jnp.linalg.norm(l.reshape(-1)) for l in leaves)
+
+    @jax.jit
+    def max_step(params, batch_stats, opt_state, swa_params, x, lr_now):
+        opt_state.hyperparams["learning_rate"] = lr_now
+        t_logits = cls.eval_apply(teacher_params, teacher_bs, x)
+
+        def loss_fn(p):
+            logits, new_bs = cls.train_apply(p, batch_stats, x)
+            loss = -distill_kl(logits, t_logits)
+            loss = loss + smoothing * param_dist(p, swa_params)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    @jax.jit
+    def min_step(params, batch_stats, opt_state, swa_params, x, y, lr_now):
+        opt_state.hyperparams["learning_rate"] = lr_now
+        t_logits = cls.eval_apply(teacher_params, teacher_bs, x)
+
+        def loss_fn(p):
+            logits, new_bs = cls.train_apply(p, batch_stats, x)
+            loss = (gamma * cross_entropy(logits, y)
+                    + alpha * distill_kl(logits, t_logits))
+            loss = loss + smoothing * param_dist(p, swa_params)
+            return loss, new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_bs, opt_state, loss
+
+    rng = np.random.default_rng(ctx.seed)
+    for epoch in range(1, epochs + 1):
+        lr_now = lr * (1 + np.cos(np.pi * (epoch - 1) / epochs)) / 2
+        if epoch <= msteps:
+            for x, y in epoch_batches(ctx.forget_train, ctx.batch_size,
+                                      shuffle=True, seed=ctx.seed + epoch):
+                params, batch_stats, opt_state, _ = max_step(
+                    params, batch_stats, opt_state, swa_params,
+                    jnp.asarray(x), lr_now)
+        for x, y in epoch_batches(ctx.retain_train, ctx.batch_size,
+                                  shuffle=True, seed=ctx.seed + epoch,
+                                  transform=ctx.transform):
+            params, batch_stats, opt_state, _ = min_step(
+                params, batch_stats, opt_state, swa_params,
+                jnp.asarray(x), jnp.asarray(y), lr_now)
+        if epoch >= sstart:
+            beta = ctx.hp("beta", 0.0)
+            swa_params = jax.tree_util.tree_map(
+                lambda s, p: (1 - beta) * s + beta * p, swa_params, params)
+    return params, batch_stats
+
+
+@unlearn_method_registry.register("SFRon")
+def sfron(ctx: UnlearnContext, key=None):
+    """SFR-on for classifiers (Classification/unlearn/sfron.py:67-355):
+    CIFAR-10 defaults — SGD lr 0.01 cosine-annealed over 1500 iters, forget
+    every 5 steps with adaga CE ascent (alpha=25 cosine-decayed, clip 7.0),
+    Fisher-ratio saliency mask at threshold 1, lambda 0.5."""
+    cls = ctx.classifier
+    n_iters = ctx.hp("n_iters", 1500)
+    lambd = ctx.hp("lambd", 0.5)
+
+    # Fisher-ratio saliency mask (eval-mode grads, CE loss)
+    def fisher_loss(p, batch, rng):
+        logits = cls.eval_apply(p, ctx.batch_stats, batch[0])
+        return cross_entropy(logits, batch[1])
+
+    use_mask = ctx.hp("mask", True)
+    mask = None
+    if use_mask:
+        fkey = jax.random.key(ctx.seed)
+        forget_fisher = accumulate_fisher(
+            fisher_loss, ctx.params,
+            ((jnp.asarray(x), jnp.asarray(y)) for x, y in
+             epoch_batches(ctx.forget_train, ctx.batch_size, seed=ctx.seed)),
+            fkey)
+        remain_fisher = accumulate_fisher(
+            fisher_loss, ctx.params,
+            ((jnp.asarray(x), jnp.asarray(y)) for x, y in
+             epoch_batches(ctx.retain_train, ctx.batch_size, seed=ctx.seed)),
+            fkey)
+        mask = fisher_ratio_mask(forget_fisher, remain_fisher,
+                                 ctx.hp("th", 1.0))
+
+    opt = make_optimizer(ctx.hp("opt", "sgd"), ctx.hp("retain_lr", 0.01),
+                         momentum=0.9, weight_decay=5e-4)
+    cfg = SFRonConfig(
+        n_iters=n_iters,
+        forget_alpha=ctx.hp("forget_alpha", 25.0),
+        remain_alpha=1.0,
+        alpha_sched=ctx.hp("sched", "cosine"),
+        forget_freq=ctx.hp("forget_freq", 5),
+        forget_clip=ctx.hp("max_norm", 7.0),
+        remain_clip=None,
+        fast_slow_beta=ctx.hp("ema_beta", 1.0),
+    )
+    step = make_sfron_step(
+        cfg, opt,
+        cls.neg_adaptive_ce_loss_fn(lambd) if ctx.hp("unlearn_loss", "adaga")
+        == "adaga" else cls.neg_ce_loss_fn(),
+        cls.ce_loss_fn(),
+        mask=mask,
+        lr_schedule=cosine_annealing(ctx.hp("retain_lr", 0.01), n_iters),
+        has_model_state=True,
+    )
+    state = init_state(ctx.params, opt, model_state=ctx.batch_stats)
+    f_it = infinite_batches(ctx.forget_train, ctx.batch_size, seed=ctx.seed,
+                            transform=ctx.transform)
+    r_it = infinite_batches(ctx.retain_train, ctx.batch_size,
+                            seed=ctx.seed + 1, transform=ctx.transform)
+    base_key = jax.random.key(ctx.seed)
+    for _ in range(n_iters):
+        fx, fy = next(f_it)
+        rx, ry = next(r_it)
+        state, metrics = step(
+            state, (jnp.asarray(fx), jnp.asarray(fy)),
+            (jnp.asarray(rx), jnp.asarray(ry)), base_key)
+    return state.params, state.model_state

@@ -61,15 +61,18 @@ class SFRonState:
     params: Any
     opt_state: Any
     ema_params: Any            # shadow params or None
+    model_state: Any = None    # mutable collections (e.g. BatchNorm stats)
 
 
 def init_state(params, optimizer: optax.GradientTransformation,
-               ema: bool = False) -> SFRonState:
+               ema: bool = False, model_state=None) -> SFRonState:
+    opt_state = jax.jit(optimizer.init)(params)  # single device dispatch
     return SFRonState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=optimizer.init(params),
+        opt_state=opt_state,
         ema_params=params if ema else None,
+        model_state=model_state,
     )
 
 
@@ -93,6 +96,7 @@ def make_sfron_step(
     mask=None,
     lr_schedule: Callable | None = None,
     donate: bool = True,
+    has_model_state: bool = False,
 ):
     """Build the jitted two-phase step.
 
@@ -100,6 +104,12 @@ def make_sfron_step(
     (new_state, metrics)``. The saliency ``mask`` (float 0/1 pytree or None)
     is closed over as a compile-time constant buffer. ``lr_schedule``
     (step -> lr) drives optimizers built via optax.inject_hyperparams.
+
+    With ``has_model_state=True`` the loss fns take/return mutable model
+    collections (BatchNorm running stats):
+    ``loss_fn(params, model_state, batch, rng) -> (loss, new_model_state)``
+    — the reference keeps models in train mode during both phases
+    (Classification/unlearn/sfron.py:190,213) so BN stats update throughout.
     """
 
     def scaled_update(grads, opt_state, params, clip):
@@ -119,35 +129,44 @@ def make_sfron_step(
             state.opt_state.hyperparams["learning_rate"] = lr_schedule(state.step)
         opt_state = state.opt_state
 
-        def forget_grads(params):
-            loss, grads = jax.value_and_grad(forget_loss_fn)(
-                params, forget_batch, k_forget)
+        def eval_loss(loss_fn, params, mstate, batch, key):
+            """Uniform (loss, new_model_state) interface."""
+            if has_model_state:
+                return loss_fn(params, mstate, batch, key)
+            return loss_fn(params, batch, key), mstate
+
+        def forget_grads(params, mstate):
+            (loss, mstate), grads = jax.value_and_grad(
+                lambda p: eval_loss(forget_loss_fn, p, mstate, forget_batch,
+                                    k_forget), has_aux=True)(params)
             grads = tr.tree_scale(grads, cur_alpha)
             if mask is not None:
                 grads = tr.tree_mul(grads, mask)
-            return loss, grads
+            return loss, grads, mstate
 
         if cfg.method == "ron":
             def do_forget(operand):
-                params, opt_state = operand
-                loss, grads = forget_grads(params)
+                params, opt_state, mstate = operand
+                loss, grads, mstate = forget_grads(params, mstate)
                 params, opt_state, gnorm = scaled_update(
                     grads, opt_state, params, cfg.forget_clip)
-                return params, opt_state, loss
+                return params, opt_state, mstate, loss
 
             if cfg.forget_freq > 1:
-                params, opt_state, forget_loss = jax.lax.cond(
+                params, opt_state, mstate, forget_loss = jax.lax.cond(
                     state.step % cfg.forget_freq == 0,
                     do_forget,
-                    lambda op: (op[0], op[1], jnp.zeros((), jnp.float32)),
-                    (state.params, opt_state),
+                    lambda op: (op[0], op[1], op[2],
+                                jnp.zeros((), jnp.float32)),
+                    (state.params, opt_state, state.model_state),
                 )
             else:
-                params, opt_state, forget_loss = do_forget(
-                    (state.params, opt_state))
+                params, opt_state, mstate, forget_loss = do_forget(
+                    (state.params, opt_state, state.model_state))
 
-            remain_loss, rgrads = jax.value_and_grad(remain_loss_fn)(
-                params, remain_batch, k_remain)
+            (remain_loss, mstate), rgrads = jax.value_and_grad(
+                lambda p: eval_loss(remain_loss_fn, p, mstate, remain_batch,
+                                    k_remain), has_aux=True)(params)
             rgrads = tr.tree_scale(rgrads, cfg.remain_alpha)
             params, opt_state, rnorm = scaled_update(
                 rgrads, opt_state, params, cfg.remain_clip)
@@ -158,12 +177,14 @@ def make_sfron_step(
             # (DDPM/runners/diffusion.py:1162-1167 masks before backward);
             # we implement the intended semantics: mask the combined grads.
             def joint_loss(params):
-                fl = forget_loss_fn(params, forget_batch, k_forget)
-                rl = remain_loss_fn(params, remain_batch, k_remain)
-                return cur_alpha * fl + cfg.remain_alpha * rl, (fl, rl)
+                fl, ms = eval_loss(forget_loss_fn, params, state.model_state,
+                                   forget_batch, k_forget)
+                rl, ms = eval_loss(remain_loss_fn, params, ms,
+                                   remain_batch, k_remain)
+                return cur_alpha * fl + cfg.remain_alpha * rl, (fl, rl, ms)
 
-            (_, (forget_loss, remain_loss)), grads = jax.value_and_grad(
-                joint_loss, has_aux=True)(state.params)
+            (_, (forget_loss, remain_loss, mstate)), grads = (
+                jax.value_and_grad(joint_loss, has_aux=True)(state.params))
             if mask is not None:
                 grads = tr.tree_mul(grads, mask)
             params, opt_state, rnorm = scaled_update(
@@ -183,6 +204,7 @@ def make_sfron_step(
             params=params,
             opt_state=opt_state,
             ema_params=ema_params,
+            model_state=mstate,
         )
         metrics = {
             "forget_loss": forget_loss,

@@ -1,0 +1,290 @@
+"""Host-side DDPM runner: the orchestration the reference keeps in its
+Diffusion god-object (DDPM/runners/diffusion.py), rebuilt as small functions
+over the jitted compute in ``uurg_tpu.workloads.ddpm``.
+
+Modes (DDPM/train.py:145-168 dispatch parity): pretrain, retrain, sfron,
+saliency_unlearn (SalUn), generate_fisher, generate_mask; sampling modes
+(sample.py): sample_fid, sample_classes, visualization.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uurg_tpu.core.config import Config
+from uurg_tpu.data import (
+    ArrayDataset,
+    class_forget_split,
+    data_transform,
+    epoch_batches,
+    infinite_batches,
+    inverse_data_transform,
+    load_cifar10,
+    random_flip_batch,
+    synthetic_dataset,
+)
+from uurg_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from uurg_tpu.train import build_reference_optimizer
+from uurg_tpu.unlearn import (
+    SFRonConfig,
+    accumulate_fisher,
+    fisher_ratio_mask,
+    make_sfron_step,
+    mask_sparsity,
+    topk_saliency_mask,
+)
+from uurg_tpu.unlearn.sfron import init_state
+from uurg_tpu.workloads.ddpm import DDPMWorkload
+
+log = logging.getLogger("uurg.ddpm")
+
+
+def _load_train_dataset(args, config) -> ArrayDataset:
+    name = config.data.dataset
+    if name == "CIFAR10":
+        try:
+            return load_cifar10(config.data.get("path", "./data"), train=True)
+        except FileNotFoundError:
+            log.warning("CIFAR-10 not found under %s — synthetic fallback",
+                        config.data.get("path"))
+    return synthetic_dataset(2048, config.data.image_size,
+                             config.data.channels, config.data.n_classes)
+
+
+def _flip(config):
+    if config.data.get("random_flip", False):
+        return random_flip_batch
+    return None
+
+
+def _device_batch(config, x, c):
+    x = jnp.asarray(x)
+    x = data_transform(config, x)
+    return x, jnp.asarray(c)
+
+
+def pretrain(args, config, ckpt_dir: str):
+    """Conditional DDPM pretraining (DDPM/runners/diffusion.py:101-177)."""
+    wl = DDPMWorkload.from_config(config)
+    params = wl.init_params(jax.random.key(args.seed))
+    opt = build_reference_optimizer(config)
+    # pretrain reuses the SFRon engine with forgetting disabled: remain-only
+    # descent + EMA shadow — one code path, fewer bugs
+    cfg = SFRonConfig(
+        n_iters=config.training.n_iters, forget_alpha=0.0,
+        alpha_sched="const", forget_freq=1,
+        forget_clip=None, remain_clip=config.optim.get("grad_clip", None),
+        ema_mu=config.model.ema_rate if config.model.get("ema") else None,
+    )
+    zero_loss = lambda p, b, k: jnp.zeros(())
+    step = make_sfron_step(cfg, opt, zero_loss, wl.train_loss_fn())
+    state = init_state(params, opt, ema=bool(config.model.get("ema")))
+
+    ds = _load_train_dataset(args, config)
+    it = infinite_batches(ds, config.training.batch_size, seed=args.seed,
+                          transform=_flip(config))
+    key = jax.random.key(args.seed)
+    start = time.time()
+    for i in range(config.training.n_iters):
+        x, c = next(it)
+        batch = _device_batch(config, x, c)
+        state, metrics = step(state, batch, batch, key)
+        if (i + 1) % config.training.log_freq == 0:
+            jax.block_until_ready(state.params)
+            log.info("step %d loss %.4f (%.2fs)", i,
+                     float(metrics["remain_loss"]), time.time() - start)
+            start = time.time()
+        if (i + 1) % config.training.snapshot_freq == 0:
+            _save(ckpt_dir, state, config)
+    _save(ckpt_dir, state, config)
+    return state
+
+
+def _save(ckpt_dir, state, config):
+    save_checkpoint(
+        os.path.join(ckpt_dir, "ckpt"),
+        {"params": state.params, "ema_params": state.ema_params,
+         "step": state.step},
+        metadata={"config": config.to_dict()},
+    )
+
+
+def load_params(args, config, wl: DDPMWorkload, use_ema: bool = False):
+    """Load from an Orbax dir or a reference torch ckpt.pth."""
+    path = getattr(args, "ckpt_folder", None)
+    if not path:
+        return wl.init_params(jax.random.key(args.seed))
+    torch_path = os.path.join(path, "ckpts", "ckpt.pth")
+    if os.path.exists(torch_path):
+        from uurg_tpu.io.torch_interop import load_ddpm_reference_checkpoint
+
+        loaded = load_ddpm_reference_checkpoint(torch_path)
+        params = loaded["ema_params"] if (use_ema and loaded["ema_params"]) \
+            else loaded["params"]
+        return jax.tree_util.tree_map(jnp.asarray, params)
+    target = {"params": wl.init_params(jax.random.key(0)),
+              "ema_params": None, "step": jnp.zeros((), jnp.int32)}
+    ck = restore_checkpoint(os.path.join(path, "ckpt"), target)
+    return ck["ema_params"] if use_ema and ck["ema_params"] is not None \
+        else ck["params"]
+
+
+def generate_fisher(args, config, out_dir: str):
+    """Forget+remain Fisher diagonals
+    (DDPM/runners/diffusion.py:1210-1364)."""
+    wl = DDPMWorkload.from_config(config)
+    params = load_params(args, config, wl)
+    ds = _load_train_dataset(args, config)
+    remain, forget = class_forget_split(ds, args.label_to_forget)
+    loss_fn = wl.fisher_loss_fn(cond_scale=getattr(args, "cond_scale", 2.0))
+    os.makedirs(out_dir, exist_ok=True)
+
+    def batches(d):
+        for x, c in epoch_batches(d, config.training.batch_size,
+                                  drop_last=False):
+            yield _device_batch(config, x, c)
+
+    for name, split in [("forget", forget), ("remain", remain)]:
+        fisher = accumulate_fisher(loss_fn, params, batches(split),
+                                   jax.random.key(args.seed))
+        save_checkpoint(os.path.join(out_dir, f"{name}_fisher"), fisher)
+        log.info("saved %s fisher (%d examples)", name, len(split))
+    return out_dir
+
+
+def generate_fisher_mask(fisher_dir: str, thresholds, params_like=None):
+    """Ratio-threshold saliency masks (DDPM/generate_fisher_mask.py:6-48)."""
+    ff = restore_checkpoint(os.path.join(fisher_dir, "forget_fisher"),
+                            params_like)
+    rf = restore_checkpoint(os.path.join(fisher_dir, "remain_fisher"),
+                            params_like)
+    out = {}
+    for th in np.atleast_1d(thresholds):
+        mask = fisher_ratio_mask(ff, rf, float(th))
+        sp = mask_sparsity(mask)
+        log.info("threshold %.3g -> sparsity %.2f%%", th, sp * 100)
+        save_checkpoint(os.path.join(fisher_dir, f"fisher_{th}"), mask)
+        out[float(th)] = mask
+    return out
+
+
+def generate_salun_mask(args, config, out_dir: str, ratios):
+    """SalUn top-k |grad| mask over the forget split
+    (DDPM/runners/diffusion.py:930-1036 generate_mask)."""
+    from uurg_tpu.core import tree as tr
+
+    wl = DDPMWorkload.from_config(config)
+    params = load_params(args, config, wl)
+    ds = _load_train_dataset(args, config)
+    _, forget = class_forget_split(ds, args.label_to_forget)
+    neg_loss = wl.ga_forget_loss_fn()
+
+    grad_step = jax.jit(lambda acc, p, b, k: jax.tree_util.tree_map(
+        jnp.add, acc, jax.grad(neg_loss)(p, b, k)))
+    acc = tr.tree_zeros_like(params)
+    key = jax.random.key(args.seed)
+    for x, c in epoch_batches(forget, config.training.batch_size):
+        key, sub = jax.random.split(key)
+        acc = grad_step(acc, params, _device_batch(config, x, c), sub)
+    os.makedirs(out_dir, exist_ok=True)
+    for ratio in np.atleast_1d(ratios):
+        mask = topk_saliency_mask(acc, float(ratio))
+        save_checkpoint(os.path.join(out_dir, f"with_{ratio}"), mask)
+    return out_dir
+
+
+def sfron_forget(args, config, ckpt_dir: str,
+                 sample_hook: Callable | None = None):
+    """SFR-on unlearning (DDPM/runners/diffusion.py:1038-1208): forget step
+    (adaga/ga/rl, masked, clipped) + remain step + EMA, fused in one jit."""
+    wl = DDPMWorkload.from_config(config)
+    params = load_params(args, config, wl)
+
+    mask = None
+    if getattr(args, "mask_path", None):
+        mask = restore_checkpoint(args.mask_path, params)
+        mask = jax.tree_util.tree_map(
+            lambda m: jnp.asarray(m, jnp.float32), mask)
+
+    opt = build_reference_optimizer(config)
+    sf_cfg = SFRonConfig(
+        n_iters=config.training.n_iters,
+        forget_alpha=args.forget_alpha,
+        remain_alpha=getattr(args, "remain_alpha", 1.0),
+        alpha_sched="cosine" if getattr(args, "decay_forget_alpha", False)
+        else "const",
+        forget_freq=1,
+        forget_clip=config.optim.get("grad_clip"),
+        remain_clip=config.optim.get("grad_clip"),
+        method=getattr(args, "method", "ron"),
+        ema_mu=config.model.ema_rate if config.model.get("ema") else None,
+    )
+    forget_loss = wl.forget_loss_fn(
+        getattr(args, "unlearn_loss", "adaga"), args.label_to_forget,
+        config.data.n_classes)
+    step = make_sfron_step(sf_cfg, opt, forget_loss, wl.train_loss_fn(),
+                           mask=mask)
+    state = init_state(params, opt, ema=bool(config.model.get("ema")))
+
+    ds = _load_train_dataset(args, config)
+    remain, forget = class_forget_split(ds, args.label_to_forget)
+    f_it = infinite_batches(forget, config.training.batch_size,
+                            seed=args.seed, transform=_flip(config))
+    r_it = infinite_batches(remain, config.training.batch_size,
+                            seed=args.seed + 1, transform=_flip(config))
+    key = jax.random.key(args.seed)
+    start = time.time()
+    for i in range(config.training.n_iters):
+        fx, fc = next(f_it)
+        rx, rc = next(r_it)
+        state, metrics = step(state, _device_batch(config, fx, fc),
+                              _device_batch(config, rx, rc), key)
+        if (i + 1) % config.training.log_freq == 0:
+            jax.block_until_ready(state.params)
+            log.info(
+                "step:%04d remain L:%.4f forget L:%.4f forget a:%.6f "
+                "time:%.2f", i, float(metrics["remain_loss"]),
+                float(metrics["forget_loss"]),
+                float(metrics["forget_alpha"]), time.time() - start)
+            start = time.time()
+        if (i + 1) % config.training.snapshot_freq == 0:
+            _save(ckpt_dir, state, config)
+            if sample_hook is not None:
+                sample_hook(state, i)
+    _save(ckpt_dir, state, config)
+    return state
+
+
+def sample_images(args, config, params, labels: np.ndarray,
+                  *, num_steps: int = 50, method: str = "ddim",
+                  cond_scale: float = 2.0, batch_size: int | None = None,
+                  seed: int = 0) -> np.ndarray:
+    """Batched class-conditional sampling -> uint8 NHWC images.
+
+    Multi-batch host loop around the jitted lax.scan sampler (the
+    DataParallel/NCCL sample_fid replacement: under a data mesh each batch is
+    sharded across devices; multi-host runs shard the label list by
+    process_index like DiT/sample_ddp.py:94-104 shards by rank).
+    """
+    wl = DDPMWorkload.from_config(config)
+    sampler = jax.jit(wl.make_sampler(
+        num_steps=num_steps, cond_scale=cond_scale, method=method))
+    bs = batch_size or config.sampling.batch_size
+    out = []
+    key = jax.random.key(seed)
+    for start in range(0, len(labels), bs):
+        chunk = labels[start : start + bs]
+        pad = bs - len(chunk)
+        key, sub = jax.random.split(key)
+        x = sampler(params, jnp.asarray(np.pad(chunk, (0, pad))), sub)
+        x = inverse_data_transform(config, x)
+        out.append(np.asarray(x[: len(chunk)]))
+    imgs = np.concatenate(out)
+    return (imgs * 255.0).round().astype(np.uint8)
