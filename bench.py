@@ -14,10 +14,18 @@ throughput of 3.0 it/s for torch on a single A100 (two fwd+bwd passes of the
 wall-clock numbers — see BASELINE.md).
 """
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+
+# persistent compilation cache: TPU compiles in this environment go through
+# a remote-compile RPC with multi-minute latency; cache hits skip it entirely
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 A100_REF_STEPS_PER_SEC_EST = 3.0
 

@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Classification random-subset unlearning CLI — reference-flag-compatible
+(Classification/main_random.py:23-157): split -> unlearn -> evaluate -> CSV.
+"""
+import argparse
+import csv
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset", type=str, default="CIFAR10")
+    p.add_argument("--data_path", type=str, default="./data")
+    p.add_argument("--model", type=str, default="ResNet18")
+    p.add_argument("--num_classes", type=int, default=10)
+    p.add_argument("--unlearn_method", type=str, default="SFRon")
+    p.add_argument("--forget_ratio", type=float, default=0.1)
+    p.add_argument("--checkpoint", type=str, default="",
+                   help="pretrained model checkpoint (orbax dir)")
+    p.add_argument("--retrain_checkpoint", type=str, default="",
+                   help="retrained reference for JS/KL divergence")
+    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_path", type=str, default="results/classification")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import jax.numpy as jnp
+
+    from uurg_tpu.data import (dataset_registry, random_forget_split,
+                               synthetic_dataset, epoch_batches)
+    from uurg_tpu.data.arrays import pad_crop_batch, random_flip_batch
+    from uurg_tpu.eval.features import softmax
+    from uurg_tpu.eval.js_div import get_js_divergence
+    from uurg_tpu.eval.mia import membership_attack_prob
+    from uurg_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+    from uurg_tpu.models import create_model
+    from uurg_tpu.models.resnet import init_classifier
+    from uurg_tpu.unlearn.methods.classification import (
+        UnlearnContext, unlearn_method_registry)
+    from uurg_tpu.workloads.classification import Classifier
+
+    os.makedirs(args.save_path, exist_ok=True)
+    try:
+        train_ds = dataset_registry.get(args.dataset)(args.data_path, True)
+        test_ds = dataset_registry.get(args.dataset)(args.data_path, False)
+    except FileNotFoundError:
+        logging.warning("dataset %s not found; synthetic fallback",
+                        args.dataset)
+        train_ds = synthetic_dataset(2048, 32, 3, args.num_classes, args.seed)
+        test_ds = synthetic_dataset(512, 32, 3, args.num_classes,
+                                    args.seed + 1)
+
+    retain, forget = random_forget_split(train_ds, args.forget_ratio,
+                                         args.seed, args.save_path)
+
+    model = create_model(args.model, args.num_classes)
+    cls = Classifier(model)
+    params, batch_stats = init_classifier(jax.random.key(args.seed), model)
+    if args.checkpoint:
+        ck = restore_checkpoint(args.checkpoint,
+                                {"params": params, "batch_stats": batch_stats})
+        params, batch_stats = ck["params"], ck["batch_stats"]
+
+    def aug(x, rng):
+        return random_flip_batch(pad_crop_batch(x, 4, rng), rng)
+
+    ctx = UnlearnContext(
+        classifier=cls, params=params, batch_stats=batch_stats,
+        retain_train=retain, forget_train=forget,
+        num_classes=args.num_classes, batch_size=args.batch_size,
+        seed=args.seed, save_path=args.save_path, transform=aug,
+        init_fn=lambda k: init_classifier(k, model),
+    )
+    method = unlearn_method_registry.get(args.unlearn_method)
+    t0 = time.time()
+    u_params, u_bs = method(ctx)
+    unlearn_time = time.time() - t0
+
+    # evaluation: accuracies + MIA + JS vs retrained
+    def batches(ds):
+        return epoch_batches(ds, args.batch_size)
+
+    res = {
+        "method": args.unlearn_method,
+        "unlearn_time": round(unlearn_time, 2),
+        "retain_acc": cls.validate(u_params, u_bs, batches(retain))["acc"],
+        "forget_acc": cls.validate(u_params, u_bs, batches(forget))["acc"],
+        "test_acc": cls.validate(u_params, u_bs, batches(test_ds))["acc"],
+    }
+    rp, rl = cls.collect_logits(u_params, u_bs, batches(retain))
+    fp, fl = cls.collect_logits(u_params, u_bs, batches(forget))
+    tp, tl = cls.collect_logits(u_params, u_bs, batches(test_ds))
+    res["mia"] = membership_attack_prob(
+        softmax(rp), rl, softmax(fp), fl, softmax(tp), tl)
+
+    if args.retrain_checkpoint:
+        ck = restore_checkpoint(args.retrain_checkpoint,
+                                {"params": params, "batch_stats": batch_stats})
+        rpp, _ = cls.collect_logits(ck["params"], ck["batch_stats"],
+                                    batches(forget))
+        res["js_div"] = get_js_divergence(softmax(fp), softmax(rpp))
+
+    save_checkpoint(os.path.join(args.save_path,
+                                 f"{args.unlearn_method}_unlearned"),
+                    {"params": u_params, "batch_stats": u_bs})
+
+    csv_path = os.path.join(args.save_path, "results.csv")
+    write_header = not os.path.exists(csv_path)
+    with open(csv_path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(res))
+        if write_header:
+            w.writeheader()
+        w.writerow(res)
+    print(res)
+
+
+if __name__ == "__main__":
+    main()

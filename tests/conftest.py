@@ -2,20 +2,19 @@
 
 Multi-device sharding (the pjit data-parallel path) is exercised on virtual
 CPU devices — the JAX-native way to test collectives without a TPU slice.
-Must run before jax is imported anywhere.
+
+NOTE: this environment's sitecustomize registers an 'axon' TPU plugin and
+imports jax before conftest runs, so env vars (JAX_PLATFORMS / XLA_FLAGS)
+are too late — we must use jax.config.update, which works because backends
+are not yet initialized at conftest time.
 """
 import os
 import sys
-
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_threefry_partitionable", True)

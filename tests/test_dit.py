@@ -1,0 +1,91 @@
+"""DiT model + workload tests (tiny configs)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uurg_tpu.models.dit import DiTConfig, DiT_configs, build_dit, init_dit
+
+TINY = DiTConfig(input_size=8, patch_size=2, in_channels=4, hidden_size=32,
+                 depth=2, num_heads=2, num_classes=10, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def tiny_dit():
+    model, params = init_dit(jax.random.key(0), TINY)
+    return model, params
+
+
+def test_registry_has_all_families():
+    assert set(DiT_configs) == {
+        f"DiT-{s}/{p}" for s in ("XL", "L", "B", "S") for p in (2, 4, 8)}
+    _, xl = build_dit("DiT-XL/2")
+    assert (xl.depth, xl.hidden_size, xl.num_heads) == (28, 1152, 16)
+    _, s8 = build_dit("DiT-S/8")
+    assert (s8.depth, s8.hidden_size, s8.patch_size) == (12, 384, 8)
+
+
+def test_forward_shape_learned_sigma(tiny_dit):
+    model, params = tiny_dit
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    out = model.apply({"params": params}, x, jnp.asarray([0, 5]),
+                      jnp.asarray([1, 2]))
+    assert out.shape == (2, 8, 8, 8)  # 2x channels (eps | sigma)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_zero_init_blocks_identity_at_init(tiny_dit):
+    # adaLN-Zero: gates are zero-init, so at init the final output comes from
+    # the zero-init final layer -> output must be exactly zero
+    model, params = tiny_dit
+    x = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    out = model.apply({"params": params}, x, jnp.asarray([3]),
+                      jnp.asarray([0]))
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_label_null_embedding(tiny_dit):
+    model, params = tiny_dit
+    # perturb final layer so outputs are non-trivial
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.01 * jnp.ones_like(p), params)
+    x = jax.random.normal(jax.random.key(1), (1, 8, 8, 4))
+    t = jnp.asarray([3])
+    y = jnp.asarray([1])
+    a = model.apply({"params": params}, x, t, y, jnp.asarray([True]))
+    b = model.apply({"params": params}, x, t, y, jnp.asarray([False]))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_workload_losses_and_sampler():
+    from uurg_tpu.workloads.dit import DiTWorkload
+
+    wl = DiTWorkload(model=None, cfg=None, diffusion=None)  # replaced below
+    import uurg_tpu.workloads.dit as D
+    from uurg_tpu.diffusion.gaussian import make_diffusion
+    from uurg_tpu.models.dit import DiT
+
+    model = DiT(TINY)
+    wl = DiTWorkload(model=model, cfg=TINY,
+                     diffusion=make_diffusion("", 20, learn_sigma=True))
+    params = wl.init_params(jax.random.key(0))
+    batch = (jax.random.normal(jax.random.key(1), (4, 8, 8, 4)),
+             jnp.asarray([0, 1, 2, 3]))
+    for fn in [wl.train_loss_fn(), wl.ga_forget_loss_fn(),
+               wl.adaga_forget_loss_fn(), wl.rl_forget_loss_fn(0)]:
+        loss = fn(params, batch, jax.random.key(2))
+        assert np.isfinite(float(loss))
+    sampler = wl.make_sampler(respacing="4", cond_scale=1.5)
+    out = sampler(params, jnp.asarray([0, 1]), jax.random.key(3))
+    assert out.shape == (2, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sincos_pos_embed_range():
+    from uurg_tpu.models.dit import sincos_2d_pos_embed
+
+    emb = sincos_2d_pos_embed(16, 4)
+    assert emb.shape == (16, 16)
+    assert np.all(np.abs(emb) <= 1.0)

@@ -79,4 +79,5 @@ def test_timestep_embedding_matches_reference_formula():
     freqs = np.exp(np.arange(half) * -(math.log(10000) / (half - 1)))
     args = np.asarray(t)[:, None] * freqs[None, :]
     expect = np.concatenate([np.sin(args), np.cos(args)], axis=1)
-    np.testing.assert_allclose(emb, expect, rtol=1e-5, atol=1e-6)
+    # float32 model math vs float64 numpy reference
+    np.testing.assert_allclose(emb, expect, rtol=1e-4, atol=1e-5)

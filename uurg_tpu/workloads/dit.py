@@ -1,0 +1,134 @@
+"""DiT workload: latent-space class forgetting on ImageNet
+(reference: DiT/forget.py, DiT/generate_fisher.py, DiT/generate_mask.py).
+
+Latents arrive already VAE-encoded and scaled by 0.18215 (the reference
+encodes each batch through a frozen AutoencoderKL — DiT/forget.py:265-267;
+our pipeline pre-encodes or uses ``uurg_tpu.models.vae``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from uurg_tpu.diffusion.gaussian import GaussianDiffusion, make_diffusion
+from uurg_tpu.diffusion.losses import adaptive_loss
+from uurg_tpu.models.dit import DiT, DiTConfig, build_dit, init_dit
+
+VAE_SCALE = 0.18215
+
+
+@dataclasses.dataclass
+class DiTWorkload:
+    model: DiT
+    cfg: DiTConfig
+    diffusion: GaussianDiffusion
+    lambd: float = 0.5
+
+    @classmethod
+    def build(cls, name: str = "DiT-XL/2", image_size: int = 256,
+              num_classes: int = 1000, lambd: float = 0.5,
+              dtype=jnp.bfloat16) -> "DiTWorkload":
+        model, cfg = build_dit(name, input_size=image_size // 8,
+                               num_classes=num_classes, dtype=dtype)
+        return cls(model=model, cfg=cfg,
+                   diffusion=make_diffusion("", 1000, learn_sigma=True),
+                   lambd=lambd)
+
+    def init_params(self, key):
+        _, params = init_dit(key, self.cfg)
+        return params
+
+    def _model_fn(self, params, y, cond_keep=None, train=False, rng=None):
+        def fn(x, t, **kw):
+            return self.model.apply({"params": params}, x, t, y, cond_keep,
+                                    train=train)
+        return fn
+
+    def _per_sample_loss(self, params, batch, rng, train=True):
+        x, y = batch  # x: latents (B, h, w, 4) already scaled
+        k_t, k_n = jax.random.split(rng)
+        t = jax.random.randint(k_t, (x.shape[0],), 0,
+                               self.diffusion.num_timesteps)
+        return self.diffusion.training_losses(
+            self._model_fn(params, y, train=train), x, t, k_n, keepdim=True)
+
+    def train_loss_fn(self) -> Callable:
+        def fn(params, batch, rng):
+            return self._per_sample_loss(params, batch, rng).mean()
+        return fn
+
+    def ga_forget_loss_fn(self) -> Callable:
+        """-mean(training_losses) (DiT/forget.py:269-272)."""
+        def fn(params, batch, rng):
+            return -self._per_sample_loss(params, batch, rng).mean()
+        return fn
+
+    def adaga_forget_loss_fn(self) -> Callable:
+        """-adaptive_loss over per-sample hybrid losses
+        (DiT/forget.py:38-50, eps=1e-15)."""
+        def fn(params, batch, rng):
+            per = self._per_sample_loss(params, batch, rng)
+            return -adaptive_loss(per, self.lambd, eps=1e-15)
+        return fn
+
+    def rl_forget_loss_fn(self, label_to_forget: int) -> Callable:
+        """Random-label variant: push forget-class outputs toward a pseudo
+        class's detached prediction."""
+        pseudo = (label_to_forget + 1) % self.cfg.num_classes
+
+        def fn(params, batch, rng):
+            x, y = batch
+            k_t, k_n = jax.random.split(rng)
+            t = jax.random.randint(k_t, (x.shape[0],), 0,
+                                   self.diffusion.num_timesteps)
+            noise = jax.random.normal(k_n, x.shape, x.dtype)
+            x_t = self.diffusion.q_sample(x, t, noise)
+            out = self.model.apply({"params": params}, x_t, t, y)
+            pseudo_y = jnp.full_like(y, pseudo)
+            target = jax.lax.stop_gradient(
+                self.model.apply({"params": params}, x_t, t, pseudo_y))
+            return jnp.mean(jnp.square(out - target))
+
+        return fn
+
+    def forget_loss_fn(self, kind: str, label_to_forget: int = 0) -> Callable:
+        return {"adaga": self.adaga_forget_loss_fn,
+                "ga": self.ga_forget_loss_fn}.get(
+            kind, lambda: self.rl_forget_loss_fn(label_to_forget))()
+
+    def make_sampler(self, *, respacing: str = "250", cond_scale: float = 4.0,
+                     cfg_channels: int | None = 3) -> Callable:
+        """CFG sampler over a respaced diffusion; guidance optionally applied
+        to the first ``cfg_channels`` only (DiT/models.py:250-267 quirk)."""
+        diff = make_diffusion(respacing, 1000, learn_sigma=True)
+
+        def sample(params, labels, key):
+            n = labels.shape[0]
+            shape = (n, self.cfg.input_size, self.cfg.input_size,
+                     self.cfg.in_channels)
+
+            def cfg_model(x, t, **kw):
+                x2 = jnp.concatenate([x, x])
+                t2 = jnp.concatenate([t, t])
+                y2 = jnp.concatenate([labels, labels])
+                keep = jnp.concatenate(
+                    [jnp.ones((n,), bool), jnp.zeros((n,), bool)])
+                out = self.model.apply({"params": params}, x2, t2, y2, keep)
+                cond, uncond = out[:n], out[n:]
+                eps_c, rest_c = cond[..., :self.cfg.in_channels], \
+                    cond[..., self.cfg.in_channels:]
+                eps_u = uncond[..., :self.cfg.in_channels]
+                if cfg_channels is not None and cfg_channels < self.cfg.in_channels:
+                    g = eps_u[..., :cfg_channels] + cond_scale * (
+                        eps_c[..., :cfg_channels] - eps_u[..., :cfg_channels])
+                    eps = jnp.concatenate([g, eps_c[..., cfg_channels:]], -1)
+                else:
+                    eps = eps_u + cond_scale * (eps_c - eps_u)
+                return jnp.concatenate([eps, rest_c], axis=-1)
+
+            return diff.p_sample_loop(cfg_model, shape, key)
+
+        return sample
