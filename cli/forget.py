@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""DiT class-forgetting CLI — reference-flag-compatible
+(DiT/forget.py:364-397): SFR-on on DiT-XL/2 ImageNet-256 latents.
+"""
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-path", type=str, default="")
+    p.add_argument("--results-dir", type=str, default="results/dit")
+    p.add_argument("--model", type=str, default="DiT-XL/2")
+    p.add_argument("--image-size", type=int, default=256,
+                   choices=[256, 512])
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--label-to-forget", type=int, default=0)
+    p.add_argument("--ckpt", type=str, default="",
+                   help="pretrained DiT checkpoint (orbax dir)")
+    p.add_argument("--n-iters", type=int, default=600)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--forget-alpha", type=float, default=1e-3)
+    p.add_argument("--remain-alpha", type=float, default=1.0)
+    p.add_argument("--unlearn-loss", type=str, default="ga",
+                   choices=["ga", "adaga", "rl"])
+    p.add_argument("--method", type=str, default="ron",
+                   choices=["ron", "joint"])
+    p.add_argument("--mask-path", type=str, default="")
+    p.add_argument("--global-batch-size", type=int, default=32)
+    p.add_argument("--global-seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=10000)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uurg_tpu.data import class_forget_split, load_image_folder, synthetic_dataset
+    from uurg_tpu.data.arrays import infinite_batches
+    from uurg_tpu.io.checkpoint import restore_checkpoint
+    from uurg_tpu.workloads.dit import VAE_SCALE, DiTWorkload
+    from uurg_tpu.workloads.dit_runner import dit_forget
+
+    wl = DiTWorkload.build(args.model, args.image_size, args.num_classes)
+    params = wl.init_params(jax.random.key(args.global_seed))
+    if args.ckpt:
+        ck = restore_checkpoint(args.ckpt, {"model": params, "ema": params})
+        params = ck["model"]
+
+    mask = None
+    if args.mask_path:
+        mask = restore_checkpoint(args.mask_path, params)
+        mask = jax.tree_util.tree_map(lambda m: jnp.asarray(m, jnp.float32),
+                                      mask)
+
+    # latents: pre-encoded npz (images path) or synthetic for smoke runs
+    latent_size = args.image_size // 8
+    if args.data_path and os.path.exists(args.data_path):
+        data = np.load(args.data_path)
+        latents, labels = data["latents"], data["labels"]
+        from uurg_tpu.data.arrays import ArrayDataset
+        ds = ArrayDataset(latents, labels)
+    else:
+        logging.warning("no latent dataset; synthetic latents")
+        ds = synthetic_dataset(1024, latent_size, 4, args.num_classes,
+                               args.global_seed)
+    remain, forget = class_forget_split(ds, args.label_to_forget)
+
+    def batches(d, seed):
+        it = infinite_batches(d, args.global_batch_size, seed=seed)
+        for x, y in it:
+            yield jnp.asarray(x), jnp.asarray(y)
+
+    ckpt_dir = os.path.join(args.results_dir,
+                            f"forget_{args.label_to_forget}")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    dit_forget(
+        wl, params,
+        batches(forget, args.global_seed),
+        batches(remain, args.global_seed + 1),
+        n_iters=args.n_iters, lr=args.lr, forget_alpha=args.forget_alpha,
+        remain_alpha=args.remain_alpha, unlearn_loss=args.unlearn_loss,
+        method=args.method, label_to_forget=args.label_to_forget,
+        mask=mask, seed=args.global_seed, log_freq=args.log_every,
+        ckpt_dir=ckpt_dir, ckpt_freq=args.ckpt_every,
+    )
+    print(f"done: {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,10 +20,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def linear_beta_schedule(T: int, scale_ref: int = 1000) -> np.ndarray:
-    """ADM linear schedule scaled for any T (gaussian_diffusion.py parity)."""
+def linear_beta_schedule(T: int, scale_ref: int = 1000,
+                         max_beta: float = 0.999) -> np.ndarray:
+    """ADM linear schedule scaled for any T (gaussian_diffusion.py parity).
+
+    Clipped to ``max_beta``: the ADM scaling assumes T is near 1000 and
+    produces betas > 1 for very short test schedules.
+    """
     scale = scale_ref / T
-    return np.linspace(scale * 1e-4, scale * 2e-2, T, dtype=np.float64)
+    betas = np.linspace(scale * 1e-4, scale * 2e-2, T, dtype=np.float64)
+    return np.clip(betas, 0.0, max_beta)
 
 
 def cosine_beta_schedule(T: int, max_beta: float = 0.999) -> np.ndarray:

@@ -1,0 +1,246 @@
+"""Stable-Diffusion UNet (LDM 860M) in Flax — NHWC, bf16 compute.
+
+TPU-native re-design of the CompVis UNetModel + SpatialTransformer stack
+(SD/ldm/modules/diffusionmodules/openaimodel.py:428-1064,
+SD/ldm/modules/attention.py:149-303): residual blocks conditioned on the
+timestep embedding, spatial transformers with self- + cross-attention over a
+text context, skip-connected encoder/decoder. Attention runs as batched
+einsums with fp32 softmax (swap-in point for the Pallas flash kernel).
+
+``train_method`` parameter subsetting (full | xattn | selfattn | noxattn |
+notime | xlayer | selflayer — SD/train-scripts/nsfw_removal.py:67-77 et al.)
+is realized as a gradient mask built by ``train_method_mask`` instead of
+optimizer param-group surgery: one pytree of 0/1 leaves multiplied into the
+gradients, which composes with the SFR-on saliency mask.
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from uurg_tpu.models.layers import GroupNorm32, timestep_embedding
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+class SDResBlock(nn.Module):
+    out_channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, emb):
+        h = silu(GroupNorm32(name="norm1")(x))
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                    name="conv1")(h)
+        eo = nn.Dense(self.out_channels, dtype=self.dtype,
+                      name="emb_proj")(silu(emb))
+        h = h + eo[:, None, None, :]
+        h = silu(GroupNorm32(name="norm2")(h))
+        h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype,
+                    name="conv2")(h)
+        if x.shape[-1] != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="skip")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    heads: int
+    dim_head: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        B, T, _ = x.shape
+        S = context.shape[1]
+        H, D = self.heads, self.dim_head
+        inner = H * D
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype,
+                     name="to_v")(context)
+        q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * (D**-0.5)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(self.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, T, inner)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        a, b = jnp.split(h, 2, axis=-1)
+        return a * jax.nn.gelu(b)
+
+
+class BasicTransformerBlock(nn.Module):
+    heads: int
+    dim_head: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn1")(h)          # self-attn
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        x = x + CrossAttention(self.heads, self.dim_head, self.dtype,
+                               name="attn2")(h, context)  # cross-attn
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(
+            x.astype(jnp.float32)).astype(self.dtype)
+        dim = x.shape[-1]
+        h = GEGLU(dim * 4, self.dtype, name="ff_geglu")(h)
+        x = x + nn.Dense(dim, dtype=self.dtype, name="ff_out")(h)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    heads: int
+    dim_head: int
+    depth: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, H, W, C = x.shape
+        h = GroupNorm32(name="norm")(x)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(B, H * W, C)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(self.heads, self.dim_head, self.dtype,
+                                      name=f"tblock_{i}")(h, context)
+        h = h.reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), dtype=self.dtype, name="proj_out")(h)
+        return x + h
+
+
+@dataclasses.dataclass(frozen=True)
+class SDUNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    model_channels: int = 320
+    channel_mult: tuple = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attention_ds: tuple = (1, 2, 4)    # downsample factors with attention
+    num_heads: int = 8
+    context_dim: int = 768
+    transformer_depth: int = 1
+    dtype: Any = jnp.bfloat16
+
+
+class SDUNet(nn.Module):
+    cfg: SDUNetConfig
+
+    @nn.compact
+    def __call__(self, x, t, context):
+        cfg = self.cfg
+        ch0 = cfg.model_channels
+        emb = timestep_embedding(t, ch0)
+        emb = nn.Dense(ch0 * 4, dtype=cfg.dtype, name="time_embed_0")(
+            emb.astype(cfg.dtype))
+        emb = nn.Dense(ch0 * 4, dtype=cfg.dtype, name="time_embed_2")(silu(emb))
+        context = context.astype(cfg.dtype)
+
+        def attn(h, name):
+            return SpatialTransformer(
+                cfg.num_heads, h.shape[-1] // cfg.num_heads,
+                cfg.transformer_depth, cfg.dtype, name=name)(h, context)
+
+        hs = [nn.Conv(ch0, (3, 3), dtype=cfg.dtype, name="conv_in")(
+            x.astype(cfg.dtype))]
+        ds = 1
+        for i, mult in enumerate(cfg.channel_mult):
+            for j in range(cfg.num_res_blocks):
+                h = SDResBlock(ch0 * mult, cfg.dtype,
+                               name=f"down_{i}_res_{j}")(hs[-1], emb)
+                if ds in cfg.attention_ds:
+                    h = attn(h, f"down_{i}_attn_{j}")
+                hs.append(h)
+            if i != len(cfg.channel_mult) - 1:
+                hs.append(nn.Conv(hs[-1].shape[-1], (3, 3), (2, 2),
+                                  dtype=cfg.dtype,
+                                  name=f"down_{i}_downsample")(hs[-1]))
+                ds *= 2
+
+        h = SDResBlock(hs[-1].shape[-1], cfg.dtype, name="mid_res_1")(hs[-1], emb)
+        h = attn(h, "mid_attn")
+        h = SDResBlock(h.shape[-1], cfg.dtype, name="mid_res_2")(h, emb)
+
+        for i in reversed(range(len(cfg.channel_mult))):
+            for j in range(cfg.num_res_blocks + 1):
+                h = jnp.concatenate([h, hs.pop()], axis=-1)
+                h = SDResBlock(ch0 * cfg.channel_mult[i], cfg.dtype,
+                               name=f"up_{i}_res_{j}")(h, emb)
+                if ds in cfg.attention_ds:
+                    h = attn(h, f"up_{i}_attn_{j}")
+            if i != 0:
+                B, H, W, C = h.shape
+                h = jnp.repeat(jnp.repeat(h, 2, axis=1), 2, axis=2)
+                h = nn.Conv(C, (3, 3), dtype=cfg.dtype,
+                            name=f"up_{i}_upsample")(h)
+                ds //= 2
+
+        h = silu(GroupNorm32(name="norm_out")(h))
+        return nn.Conv(cfg.out_channels, (3, 3), dtype=jnp.float32,
+                       param_dtype=jnp.float32, name="conv_out")(
+            h.astype(jnp.float32))
+
+
+def init_sd_unet(key, cfg: SDUNetConfig, latent_size: int = 64,
+                 context_len: int = 77):
+    model = SDUNet(cfg)
+    x = jnp.zeros((1, latent_size, latent_size, cfg.in_channels))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, context_len, cfg.context_dim))
+    params = jax.jit(model.init)({"params": key}, x, t, ctx)["params"]
+    return model, params
+
+
+# -- train_method parameter-subset masks -----------------------------------
+
+_METHOD_RULES = {
+    # name -> (include_regexes, exclude_regexes) over flattened param paths
+    "full": ([r".*"], []),
+    "xattn": ([r".*attn2.*"], []),
+    "selfattn": ([r".*attn1.*"], []),
+    "noxattn": ([r".*"], [r".*attn2.*", r".*time_embed.*", r"up_0.*"]),
+    "notime": ([r".*"], [r".*time_embed.*", r".*emb_proj.*"]),
+    "xlayer": ([r".*attn2.*"], [r"down.*"]),
+    "selflayer": ([r".*attn1.*"], [r"down.*"]),
+}
+
+
+def train_method_mask(params, method: str):
+    """0/1 gradient mask implementing the reference's train_method param
+    selection (SD/train-scripts/train-esd.py:152-210 policy names)."""
+    inc, exc = _METHOD_RULES[method]
+
+    def decide(path) -> float:
+        p = "/".join(str(k.key) for k in path)
+        if any(re.match(r, p) for r in exc):
+            return 0.0
+        return 1.0 if any(re.match(r, p) for r in inc) else 0.0
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jnp.full(leaf.shape, decide(path), jnp.float32),
+        params)

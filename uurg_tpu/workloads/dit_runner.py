@@ -1,0 +1,156 @@
+"""Host-side DiT runners: class forgetting, Fisher generation, sampling.
+
+Parity targets: DiT/forget.py:151-361 (SFR-on loop with frozen-VAE latent
+encode + EMA), DiT/generate_fisher.py:131-317, DiT/generate_mask.py:16-57,
+DiT/sample_ddp.py:45-146 (rank-sharded FID sampling -> here process-sharded
+label lists over a data mesh).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uurg_tpu.core import tree as tr
+from uurg_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from uurg_tpu.train import make_optimizer
+from uurg_tpu.unlearn import (
+    SFRonConfig,
+    accumulate_fisher,
+    fisher_ratio_mask,
+    make_sfron_step,
+    mask_sparsity,
+)
+from uurg_tpu.unlearn.sfron import init_state
+from uurg_tpu.workloads.dit import DiTWorkload
+
+log = logging.getLogger("uurg.dit")
+
+
+def dit_forget(
+    wl: DiTWorkload,
+    params,
+    forget_batches: Iterator,   # yields (latents, labels) pre-encoded
+    remain_batches: Iterator,
+    *,
+    n_iters: int = 600,
+    lr: float = 1e-4,
+    forget_alpha: float = 1e-3,
+    remain_alpha: float = 1.0,
+    unlearn_loss: str = "ga",
+    method: str = "ron",
+    label_to_forget: int = 0,
+    mask=None,
+    ema_decay: float = 0.9999,
+    seed: int = 0,
+    log_freq: int = 100,
+    ckpt_dir: str | None = None,
+    ckpt_freq: int = 10000,
+):
+    """SFR-on for DiT (DiT/forget.py:256-345): masked ascent + remain descent
+    + update_ema, one jit. ``ema_decay`` follows DiT's update_ema (shadow =
+    decay*shadow + (1-decay)*param -> our ema_mu = decay)."""
+    opt = make_optimizer("adamw", lr, weight_decay=0.0)
+    cfg = SFRonConfig(
+        n_iters=n_iters, forget_alpha=forget_alpha,
+        remain_alpha=remain_alpha, alpha_sched="cosine", forget_freq=1,
+        forget_clip=None, remain_clip=None, method=method, ema_mu=ema_decay,
+    )
+    step = make_sfron_step(cfg, opt,
+                           wl.forget_loss_fn(unlearn_loss, label_to_forget),
+                           wl.train_loss_fn(), mask=mask)
+    state = init_state(params, opt, ema=True)
+    key = jax.random.key(seed)
+    start = time.time()
+    for i in range(n_iters):
+        state, metrics = step(state, next(forget_batches),
+                              next(remain_batches), key)
+        if (i + 1) % log_freq == 0:
+            jax.block_until_ready(state.params)
+            log.info("step %d forget %.4f remain %.4f (%.2f steps/s)",
+                     i, float(metrics["forget_loss"]),
+                     float(metrics["remain_loss"]),
+                     log_freq / (time.time() - start))
+            start = time.time()
+        if ckpt_dir and (i + 1) % ckpt_freq == 0:
+            save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{i:07d}"),
+                            {"model": state.params, "ema": state.ema_params})
+    if ckpt_dir:
+        save_checkpoint(os.path.join(ckpt_dir, "final"),
+                        {"model": state.params, "ema": state.ema_params})
+    return state
+
+
+def dit_generate_fisher(wl: DiTWorkload, params, forget_batches,
+                        remain_batches, *, n_iters: int, out_dir: str,
+                        seed: int = 0):
+    """Squared-grad accumulation over sampled batches
+    (DiT/generate_fisher.py:217-291)."""
+    os.makedirs(out_dir, exist_ok=True)
+    loss = wl.train_loss_fn()
+
+    def take(it, n):
+        for _ in range(n):
+            yield next(it)
+
+    for name, it in [("forget", forget_batches), ("remain", remain_batches)]:
+        fisher = accumulate_fisher(loss, params, take(it, n_iters),
+                                   jax.random.key(seed))
+        save_checkpoint(os.path.join(out_dir, f"{name}_fisher"), fisher)
+        log.info("saved %s fisher", name)
+    return out_dir
+
+
+def dit_generate_mask(fisher_dir: str, thresholds, params_like=None):
+    """Ratio-threshold masks for a threshold list (DiT/generate_mask.py)."""
+    ff = restore_checkpoint(os.path.join(fisher_dir, "forget_fisher"),
+                            params_like)
+    rf = restore_checkpoint(os.path.join(fisher_dir, "remain_fisher"),
+                            params_like)
+    out = {}
+    for th in np.atleast_1d(thresholds):
+        mask = fisher_ratio_mask(ff, rf, float(th))
+        log.info("th %.3g sparsity %.2f%%", th, mask_sparsity(mask) * 100)
+        save_checkpoint(os.path.join(fisher_dir, f"fisher_{th}"), mask)
+        out[float(th)] = mask
+    return out
+
+
+def dit_sample_fid(
+    wl: DiTWorkload,
+    params,
+    class_labels: np.ndarray,
+    *,
+    respacing: str = "250",
+    cond_scale: float = 1.5,
+    batch_size: int = 32,
+    seed: int = 0,
+    decode_fn: Callable | None = None,
+) -> np.ndarray:
+    """Process-sharded class-conditional sampling (sample_ddp parity: the
+    rank-strided index math becomes process_index striding; no barriers —
+    the final npz merge is a host-side concat)."""
+    pid, pcount = jax.process_index(), jax.process_count()
+    labels = class_labels[pid::pcount]
+    sampler = jax.jit(wl.make_sampler(respacing=respacing,
+                                      cond_scale=cond_scale))
+    outs = []
+    key = jax.random.key(seed + pid)
+    for i in range(0, len(labels), batch_size):
+        chunk = labels[i : i + batch_size]
+        pad = batch_size - len(chunk)
+        key, sub = jax.random.split(key)
+        lat = sampler(params, jnp.asarray(np.pad(chunk, (0, pad))), sub)
+        lat = lat[: len(chunk)]
+        if decode_fn is not None:
+            img = decode_fn(lat)
+            img = np.clip((np.asarray(img) + 1) / 2, 0, 1)
+            outs.append((img * 255).astype(np.uint8))
+        else:
+            outs.append(np.asarray(lat))
+    return np.concatenate(outs)
