@@ -73,9 +73,9 @@ def main():
                          alpha_sched="cosine", forget_clip=1.0,
                          remain_clip=1.0, ema_mu=1e-4)
     step = make_sfron_step(sf_cfg, opt, wl.adaga_forget_loss_fn(),
-                           wl.train_loss_fn(), mask=mask)
+                           wl.train_loss_fn())
 
-    state = init_state(params, opt, ema=True)
+    state = init_state(params, opt, ema=True, mask=mask)
     kd = jax.random.key(2)
     fb = (jax.random.normal(kd, (batch, 32, 32, 3)) * 0.5,
           jnp.zeros((batch,), jnp.int32))

@@ -130,8 +130,8 @@ def test_sd_workload_losses():
     t = jnp.asarray([3, 7])
     z_t = wl.schedule.q_sample(z, t, jax.random.normal(jax.random.key(6),
                                                        z.shape))
-    eloss = wl.esd_loss_fn(unet_params, 1.0)(
-        unet_params, (z_t, t, ctx, ctx2), jax.random.key(7))
+    eloss = wl.esd_loss_fn(1.0)(
+        unet_params, (z_t, t, ctx, ctx2), jax.random.key(7), unet_params)
     assert np.isfinite(float(eloss))
 
     galoss = wl.ga_loss_fn(1.0)(unet_params, ((z, ctx), (z, ctx2)),

@@ -168,8 +168,8 @@ def _linear_setup(mask=None, **cfg_kwargs):
 
     fl = lambda p, b, k: -jnp.mean((b[0] @ p["w"] - b[1]) ** 2)  # ascent
     rl = lambda p, b, k: jnp.mean((b[0] @ p["w"] - b[1]) ** 2)
-    step = make_sfron_step(cfg, opt, fl, rl, mask=mask, donate=False)
-    state = init_state(params, opt)
+    step = make_sfron_step(cfg, opt, fl, rl, donate=False)
+    state = init_state(params, opt, mask=mask)
     return step, state, forget_batch, remain_batch, fl, rl
 
 

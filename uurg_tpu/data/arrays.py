@@ -45,16 +45,17 @@ def random_flip_batch(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def pad_crop_batch(x: np.ndarray, pad: int, rng: np.random.Generator) -> np.ndarray:
-    """Random-crop after reflection-free zero padding (classification aug)."""
+    """Random-crop after zero padding (classification aug), fully vectorized
+    (single gather, no per-image python loop)."""
     n, h, w, c = x.shape
     padded = np.zeros((n, h + 2 * pad, w + 2 * pad, c), x.dtype)
     padded[:, pad:-pad, pad:-pad, :] = x
-    out = np.empty_like(x)
     ys = rng.integers(0, 2 * pad + 1, n)
     xs = rng.integers(0, 2 * pad + 1, n)
-    for i in range(n):
-        out[i] = padded[i, ys[i] : ys[i] + h, xs[i] : xs[i] + w, :]
-    return out
+    rows = ys[:, None] + np.arange(h)[None, :]          # (n, h)
+    cols = xs[:, None] + np.arange(w)[None, :]          # (n, w)
+    return padded[np.arange(n)[:, None, None],
+                  rows[:, :, None], cols[:, None, :], :]
 
 
 def epoch_batches(

@@ -187,7 +187,9 @@ def make_extractor(variables, batch_dtype=jnp.float32):
 def init_inception(key=None):
     model = InceptionV3()
     x = jnp.zeros((1, 299, 299, 3))
-    return model, jax.jit(model.init)(key or jax.random.key(0), x)
+    if key is None:
+        key = jax.random.key(0)
+    return model, jax.jit(model.init)(key, x)
 
 
 def load_inception_npz(path: str):

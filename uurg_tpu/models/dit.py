@@ -43,23 +43,25 @@ def sincos_2d_pos_embed(dim: int, grid: int) -> np.ndarray:
 
 
 class MHSA(nn.Module):
-    """Multi-head self-attention; fp32 softmax, bf16 matmuls."""
+    """Multi-head self-attention; fp32 softmax, bf16 matmuls.
+
+    Uses the Pallas fused-attention kernel on TPU when shapes align
+    (uurg_tpu.ops.flash_attention); XLA einsum path elsewhere.
+    """
 
     num_heads: int
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from uurg_tpu.ops.flash_attention import attention
+
         B, T, D = x.shape
         H = self.num_heads
         qkv = nn.Dense(3 * D, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv.reshape(B, T, 3, H, D // H), 3, axis=2)
         q, k, v = (z.squeeze(2).transpose(0, 2, 1, 3) for z in (q, k, v))
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn * (D // H) ** -0.5, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
+        out = attention(q, k, v)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 

@@ -1,0 +1,1 @@
+from uurg_tpu.ops.flash_attention import attention, fused_attention

@@ -83,8 +83,10 @@ def _train_epochs(ctx: UnlearnContext, params, batch_stats, ds: ArrayDataset,
             logits, new_bs = cls.eval_apply(p, bs, batch[0]), bs
         return cross_entropy(logits, batch[1]), new_bs
 
+    # NOTE: the mask is a jit ARGUMENT (parameter-sized closure constants
+    # become HLO literals and wreck TPU compiles)
     @jax.jit
-    def step(params, batch_stats, opt_state, batch, lr_now, key):
+    def step(params, batch_stats, opt_state, batch, lr_now, key, mask):
         opt_state.hyperparams["learning_rate"] = lr_now
         (loss, new_bs), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch_stats, batch, key), has_aux=True
@@ -106,7 +108,7 @@ def _train_epochs(ctx: UnlearnContext, params, batch_stats, ds: ArrayDataset,
             key, sub = jax.random.split(key)
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state,
-                (jnp.asarray(x), jnp.asarray(y)), lr_now, sub)
+                (jnp.asarray(x), jnp.asarray(y)), lr_now, sub, mask)
     return params, batch_stats
 
 
@@ -234,10 +236,11 @@ def bad_teacher(ctx: UnlearnContext, key=None):
     steps_per_epoch = max(1, len(merged) // ctx.batch_size)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, x, flags_b, lr_now):
+    def step(params, batch_stats, opt_state, x, flags_b, lr_now,
+             full_p, full_b, rand_p, rand_b):
         opt_state.hyperparams["learning_rate"] = lr_now
-        t_full = cls.eval_apply(full_params, full_bs, x)
-        t_rand = cls.eval_apply(rand_params, rand_bs, x)
+        t_full = cls.eval_apply(full_p, full_b, x)
+        t_rand = cls.eval_apply(rand_p, rand_b, x)
         f_soft = jax.nn.softmax(t_full / kl_T, -1)
         u_soft = jax.nn.softmax(t_rand / kl_T, -1)
         target = (flags_b[:, None] * u_soft
@@ -269,7 +272,8 @@ def bad_teacher(ctx: UnlearnContext, key=None):
                 x = ctx.transform(x, rng)
             params, batch_stats, opt_state, _ = step(
                 params, batch_stats, opt_state, jnp.asarray(x),
-                jnp.asarray(flags[take], jnp.float32), lr_now)
+                jnp.asarray(flags[take], jnp.float32), lr_now,
+                full_params, full_bs, rand_params, rand_bs)
     return params, batch_stats
 
 
@@ -307,9 +311,10 @@ def scrub(ctx: UnlearnContext, key=None):
         return sum(jnp.linalg.norm(l.reshape(-1)) for l in leaves)
 
     @jax.jit
-    def max_step(params, batch_stats, opt_state, swa_params, x, lr_now):
+    def max_step(params, batch_stats, opt_state, swa_params, x, lr_now,
+                 teacher_p, teacher_b):
         opt_state.hyperparams["learning_rate"] = lr_now
-        t_logits = cls.eval_apply(teacher_params, teacher_bs, x)
+        t_logits = cls.eval_apply(teacher_p, teacher_b, x)
 
         def loss_fn(p):
             logits, new_bs = cls.train_apply(p, batch_stats, x)
@@ -322,9 +327,10 @@ def scrub(ctx: UnlearnContext, key=None):
         return optax.apply_updates(params, updates), new_bs, opt_state, loss
 
     @jax.jit
-    def min_step(params, batch_stats, opt_state, swa_params, x, y, lr_now):
+    def min_step(params, batch_stats, opt_state, swa_params, x, y, lr_now,
+                 teacher_p, teacher_b):
         opt_state.hyperparams["learning_rate"] = lr_now
-        t_logits = cls.eval_apply(teacher_params, teacher_bs, x)
+        t_logits = cls.eval_apply(teacher_p, teacher_b, x)
 
         def loss_fn(p):
             logits, new_bs = cls.train_apply(p, batch_stats, x)
@@ -345,13 +351,14 @@ def scrub(ctx: UnlearnContext, key=None):
                                       shuffle=True, seed=ctx.seed + epoch):
                 params, batch_stats, opt_state, _ = max_step(
                     params, batch_stats, opt_state, swa_params,
-                    jnp.asarray(x), lr_now)
+                    jnp.asarray(x), lr_now, teacher_params, teacher_bs)
         for x, y in epoch_batches(ctx.retain_train, ctx.batch_size,
                                   shuffle=True, seed=ctx.seed + epoch,
                                   transform=ctx.transform):
             params, batch_stats, opt_state, _ = min_step(
                 params, batch_stats, opt_state, swa_params,
-                jnp.asarray(x), jnp.asarray(y), lr_now)
+                jnp.asarray(x), jnp.asarray(y), lr_now,
+                teacher_params, teacher_bs)
         if epoch >= sstart:
             beta = ctx.hp("beta", 0.0)
             swa_params = jax.tree_util.tree_map(
@@ -408,11 +415,11 @@ def sfron(ctx: UnlearnContext, key=None):
         cls.neg_adaptive_ce_loss_fn(lambd) if ctx.hp("unlearn_loss", "adaga")
         == "adaga" else cls.neg_ce_loss_fn(),
         cls.ce_loss_fn(),
-        mask=mask,
         lr_schedule=cosine_annealing(ctx.hp("retain_lr", 0.01), n_iters),
         has_model_state=True,
     )
-    state = init_state(ctx.params, opt, model_state=ctx.batch_stats)
+    state = init_state(ctx.params, opt, model_state=ctx.batch_stats,
+                       mask=mask)
     f_it = infinite_batches(ctx.forget_train, ctx.batch_size, seed=ctx.seed,
                             transform=ctx.transform)
     r_it = infinite_batches(ctx.retain_train, ctx.batch_size,

@@ -62,10 +62,16 @@ class SFRonState:
     opt_state: Any
     ema_params: Any            # shadow params or None
     model_state: Any = None    # mutable collections (e.g. BatchNorm stats)
+    mask: Any = None           # saliency mask (0/1 float pytree) or None
+
+    # The mask lives in the state (a jit ARGUMENT) rather than being closed
+    # over by the step: closure constants of parameter size get embedded as
+    # HLO literals, which explodes compile time and can exceed backend
+    # program limits. It rides through each donated step unchanged.
 
 
 def init_state(params, optimizer: optax.GradientTransformation,
-               ema: bool = False, model_state=None) -> SFRonState:
+               ema: bool = False, model_state=None, mask=None) -> SFRonState:
     opt_state = jax.jit(optimizer.init)(params)  # single device dispatch
     return SFRonState(
         step=jnp.zeros((), jnp.int32),
@@ -73,6 +79,7 @@ def init_state(params, optimizer: optax.GradientTransformation,
         opt_state=opt_state,
         ema_params=params if ema else None,
         model_state=model_state,
+        mask=mask,
     )
 
 
@@ -93,7 +100,6 @@ def make_sfron_step(
     optimizer: optax.GradientTransformation,
     forget_loss_fn: LossFn,
     remain_loss_fn: LossFn,
-    mask=None,
     lr_schedule: Callable | None = None,
     donate: bool = True,
     has_model_state: bool = False,
@@ -101,9 +107,10 @@ def make_sfron_step(
     """Build the jitted two-phase step.
 
     Returns ``step_fn(state, forget_batch, remain_batch, rng) ->
-    (new_state, metrics)``. The saliency ``mask`` (float 0/1 pytree or None)
-    is closed over as a compile-time constant buffer. ``lr_schedule``
-    (step -> lr) drives optimizers built via optax.inject_hyperparams.
+    (new_state, metrics)``. The saliency mask (float 0/1 pytree or None)
+    comes in via ``state.mask`` — a jit argument, never a closure constant.
+    ``lr_schedule`` (step -> lr) drives optimizers built via
+    optax.inject_hyperparams.
 
     With ``has_model_state=True`` the loss fns take/return mutable model
     collections (BatchNorm running stats):
@@ -124,6 +131,7 @@ def make_sfron_step(
         k_forget, k_remain = jax.random.split(jax.random.fold_in(rng, state.step))
         cur_alpha = _alpha_at(cfg, state.step)
         params_prev = state.params
+        mask = state.mask  # None-ness is static (part of the pytree struct)
 
         if lr_schedule is not None:
             state.opt_state.hyperparams["learning_rate"] = lr_schedule(state.step)
@@ -205,6 +213,7 @@ def make_sfron_step(
             opt_state=opt_state,
             ema_params=ema_params,
             model_state=mstate,
+            mask=mask,
         )
         metrics = {
             "forget_loss": forget_loss,

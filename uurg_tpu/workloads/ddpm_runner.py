@@ -229,9 +229,9 @@ def sfron_forget(args, config, ckpt_dir: str,
     forget_loss = wl.forget_loss_fn(
         getattr(args, "unlearn_loss", "adaga"), args.label_to_forget,
         config.data.n_classes)
-    step = make_sfron_step(sf_cfg, opt, forget_loss, wl.train_loss_fn(),
-                           mask=mask)
-    state = init_state(params, opt, ema=bool(config.model.get("ema")))
+    step = make_sfron_step(sf_cfg, opt, forget_loss, wl.train_loss_fn())
+    state = init_state(params, opt, ema=bool(config.model.get("ema")),
+                       mask=mask)
 
     ds = _load_train_dataset(args, config)
     remain, forget = class_forget_split(ds, args.label_to_forget)

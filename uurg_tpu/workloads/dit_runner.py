@@ -63,8 +63,8 @@ def dit_forget(
     )
     step = make_sfron_step(cfg, opt,
                            wl.forget_loss_fn(unlearn_loss, label_to_forget),
-                           wl.train_loss_fn(), mask=mask)
-    state = init_state(params, opt, ema=True)
+                           wl.train_loss_fn())
+    state = init_state(params, opt, ema=True, mask=mask)
     key = jax.random.key(seed)
     start = time.time()
     for i in range(n_iters):

@@ -109,13 +109,13 @@ class SDWorkload:
 
         return fn
 
-    def esd_loss_fn(self, frozen_params, negative_guidance: float = 1.0
-                    ) -> Callable:
+    def esd_loss_fn(self, negative_guidance: float = 1.0) -> Callable:
         """ESD: push eps toward e_0 - eta * (e_p - e_0) computed by the
         FROZEN base model (train-esd.py:291-329). batch = (z_t partially
-        denoised latents, t, ctx_concept, ctx_empty)."""
+        denoised latents, t, ctx_concept, ctx_empty); the frozen params
+        arrive as the 4th argument (jit arg, not a closure constant)."""
 
-        def fn(params, batch, rng):
+        def fn(params, batch, rng, frozen_params):
             z_t, t, ctx_c, ctx_0 = batch
             e0 = jax.lax.stop_gradient(
                 self.apply_model(frozen_params, z_t, t, ctx_0))
@@ -145,6 +145,41 @@ class SDWorkload:
         nsfw forget."""
         return self.nsfw_forget_loss_fn()
 
+    # -- sampling ----------------------------------------------------------
+
+    def make_sampler(self, *, num_steps: int = 50, guidance_scale: float = 7.5,
+                     latent_size: int = 64, eta: float = 0.0):
+        """Text-conditional CFG DDIM sampler -> latents (decode via VAE).
+
+        Parity: SD/ldm/models/diffusion/ddim.py + eval-scripts/
+        generate-images.py; CFG is eps_0 + g*(eps_c - eps_0) via one batched
+        double-forward.
+        """
+        from uurg_tpu.diffusion import sampling as S
+
+        seq = S.make_step_sequence(self.schedule.num_timesteps, num_steps)
+
+        def sample(params, context, key):
+            n = context.shape[0]
+            k_init, k_s = jax.random.split(key)
+            ctx_uncond = jnp.broadcast_to(
+                self.get_learned_conditioning([""]), context.shape)
+
+            def model_fn(x, t):
+                x2 = jnp.concatenate([x, x])
+                t2 = jnp.concatenate([t, t])
+                c2 = jnp.concatenate([context, ctx_uncond])
+                out = self.apply_model(params, x2, t2, c2)
+                cond, uncond = out[:n], out[n:]
+                return uncond + guidance_scale * (cond - uncond)
+
+            x_T = jax.random.normal(
+                k_init, (n, latent_size, latent_size, 4), jnp.float32)
+            return S.ddim_sample(model_fn, self.schedule, x_T, seq, eta=eta,
+                                 key=k_s)
+
+        return sample
+
     # -- proximal gradient -------------------------------------------------
 
     def make_prox_operator(self, init_params, top_ratio: float = 0.01):
@@ -153,7 +188,7 @@ class SDWorkload:
         instead of a second GPU."""
 
         @jax.jit
-        def prox(params):
+        def _prox(params, init_params):
             leaves, treedef = jax.tree_util.tree_flatten(
                 jax.tree_util.tree_map(jnp.subtract, params, init_params))
             flat = jnp.concatenate([jnp.abs(l).ravel() for l in leaves])
@@ -168,7 +203,8 @@ class SDWorkload:
                 treedef, [shrink(l) for l in leaves])
             return jax.tree_util.tree_map(jnp.add, init_params, deltas)
 
-        return prox
+        # init params bound as a jit argument, not a closure constant
+        return lambda params: _prox(params, init_params)
 
     # -- fisher ------------------------------------------------------------
 

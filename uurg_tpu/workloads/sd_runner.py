@@ -73,8 +73,8 @@ def nsfw_removal(
                       remain_alpha=remain_alpha, alpha_sched="const",
                       forget_clip=None, remain_clip=None)
     step = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
-                           wl.shared_step_loss, mask=mask)
-    state = init_state(unet_params, opt)
+                           wl.shared_step_loss)
+    state = init_state(unet_params, opt, mask=mask)
     key = jax.random.key(seed)
     for i in range(n_iters):
         state, metrics = step(state, next(forget_batches),
@@ -89,14 +89,17 @@ def nsfw_removal(
 
 
 def _single_loss_loop(wl, unet_params, loss_fn, batches, *, n_iters, lr,
-                      train_method="full", seed=0, prox=None):
+                      train_method="full", seed=0, prox=None, aux=None):
+    """Generic masked single-loss loop. ``aux`` (e.g. frozen base params for
+    ESD) and the train-method mask are jit ARGUMENTS — parameter-sized
+    closure constants become HLO literals and wreck TPU compiles."""
     mask = train_method_mask(unet_params, train_method)
     opt = make_optimizer("adam", lr)
     opt_state = jax.jit(opt.init)(unet_params)
 
     @jax.jit
-    def step(params, opt_state, batch, k):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, k)
+    def step(params, opt_state, batch, k, mask, aux):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, k, aux)
         grads = tr.tree_mul(grads, mask)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -105,7 +108,8 @@ def _single_loss_loop(wl, unet_params, loss_fn, batches, *, n_iters, lr,
     params = unet_params
     for i in range(n_iters):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, next(batches), sub)
+        params, opt_state, loss = step(params, opt_state, next(batches), sub,
+                                       mask, aux)
         if prox is not None:
             params = prox(params)
     return params
@@ -118,8 +122,9 @@ def train_esd(wl: SDWorkload, unet_params, batches, *, n_iters=1000,
     the CURRENT model — see ``esd_batch_builder``."""
     frozen = jax.tree_util.tree_map(jnp.asarray, unet_params)
     return _single_loss_loop(
-        wl, unet_params, wl.esd_loss_fn(frozen, negative_guidance), batches,
-        n_iters=n_iters, lr=lr, train_method=train_method, seed=seed)
+        wl, unet_params, wl.esd_loss_fn(negative_guidance), batches,
+        n_iters=n_iters, lr=lr, train_method=train_method, seed=seed,
+        aux=frozen)
 
 
 def certain_label(wl: SDWorkload, unet_params, forget_batches,
@@ -130,7 +135,7 @@ def certain_label(wl: SDWorkload, unet_params, forget_batches,
     remain loss in one update."""
     rl = wl.rl_forget_loss_fn()
 
-    def combined(params, batch, rng):
+    def combined(params, batch, rng, aux):
         fb, rb = batch
         k1, k2 = jax.random.split(rng)
         return rl(params, fb, k1) + remain_alpha * wl.shared_step_loss(
@@ -147,7 +152,8 @@ def gradient_ascent(wl: SDWorkload, unet_params, forget_batches,
                     remain_alpha=1.0, seed=0, train_method="full"):
     """-shared_step(forget) + alpha*shared_step(remain)
     (SD/train-scripts/gradient_ascent.py:14-123)."""
-    loss = wl.ga_loss_fn(remain_alpha)
+    ga = wl.ga_loss_fn(remain_alpha)
+    loss = lambda p, b, k, aux: ga(p, b, k)
     paired = map(lambda fr: fr, zip(forget_batches, remain_batches))
     return _single_loss_loop(wl, unet_params, loss, paired, n_iters=n_iters,
                              lr=lr, train_method=train_method, seed=seed)
@@ -158,7 +164,8 @@ def proximal_gradient(wl: SDWorkload, unet_params, forget_batches,
                       remain_alpha=1.0, top_ratio=0.01, seed=0):
     """Joint loss + per-step L1-prox shrink toward init
     (SD/train-scripts/proximal_gradient.py:18-197)."""
-    loss = wl.ga_loss_fn(remain_alpha)
+    ga = wl.ga_loss_fn(remain_alpha)
+    loss = lambda p, b, k, aux: ga(p, b, k)
     prox = wl.make_prox_operator(
         jax.tree_util.tree_map(jnp.asarray, unet_params), top_ratio)
     paired = map(lambda fr: fr, zip(forget_batches, remain_batches))
