@@ -25,7 +25,7 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--mode", type=str, default="pretrain",
-                   choices=["pretrain", "retrain", "sfron", "salun",
+                   choices=["pretrain", "retrain", "sfron", "sa", "salun",
                             "generate_mask", "generate_fisher"])
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--exp", type=str, default="results")
@@ -91,6 +91,8 @@ def main():
         R.generate_salun_mask(args, config, out, args.mask_ratio)
     elif args.mode == "sfron":
         R.sfron_forget(args, config, ckpt_dir)
+    elif args.mode == "sa":
+        R.sa_forget(args, config, ckpt_dir)
     elif args.mode == "salun":
         # SalUn = RandomLabel loss + top-k mask, via the same engine
         args.unlearn_loss = "rl"

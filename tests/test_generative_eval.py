@@ -99,5 +99,5 @@ def test_inception_architecture_shapes():
     imgs = np.zeros((2, 32, 32, 3), np.uint8)
     pool, spatial, logits = extract(imgs)
     assert pool.shape == (2, 2048)
-    assert spatial.shape == (2, 343)  # 7x7x7 sFID features
+    assert spatial.shape == (2, 2023)  # 17x17x7 sFID features
     assert logits.shape == (2, 1008)

@@ -1,0 +1,92 @@
+"""End-to-end (tiny) tests for all nine classification unlearning methods."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uurg_tpu.data import synthetic_dataset
+from uurg_tpu.models.resnet import ResNet, BasicBlock, init_classifier
+from uurg_tpu.unlearn.methods.classification import (
+    UnlearnContext,
+    unlearn_method_registry,
+)
+from uurg_tpu.workloads.classification import Classifier
+
+
+def tiny_model():
+    return ResNet(stage_sizes=[1, 1], block=BasicBlock, num_classes=4,
+                  width=8)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    model = tiny_model()
+    params, batch_stats = init_classifier(jax.random.key(0), model,
+                                          resolution=8)
+    full = synthetic_dataset(96, 8, 3, 4, seed=0)
+    retain = full.subset(np.arange(64))
+    forget = full.subset(np.arange(64, 96))
+    return UnlearnContext(
+        classifier=Classifier(model), params=params,
+        batch_stats=batch_stats, retain_train=retain, forget_train=forget,
+        num_classes=4, batch_size=32, seed=0,
+        init_fn=lambda k: init_classifier(k, tiny_model(), resolution=8),
+        overrides={"epochs": 1, "n_iters": 6, "forget_freq": 2,
+                   "sgda_epochs": 1, "msteps": 1},
+    )
+
+
+def _params_equal(a, b):
+    return all(
+        np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree_util.tree_leaves(a),
+                        jax.tree_util.tree_leaves(b)))
+
+
+def test_registry_has_all_nine():
+    assert set(unlearn_method_registry.names()) >= {
+        "Baseline", "Retrain", "Finetune", "GradAscent", "RandomLabel",
+        "BadTeacher", "SCRUB", "SalUn", "SFRon"}
+
+
+def test_baseline_is_noop(ctx):
+    p, bs = unlearn_method_registry.get("Baseline")(ctx)
+    assert _params_equal(p, ctx.params)
+
+
+@pytest.mark.parametrize("name", ["Finetune", "GradAscent", "RandomLabel",
+                                  "BadTeacher", "SCRUB", "SalUn", "SFRon"])
+def test_method_runs_and_updates(ctx, name):
+    p, bs = unlearn_method_registry.get(name)(ctx)
+    assert not _params_equal(p, ctx.params), f"{name} did not update params"
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert np.all(np.isfinite(np.asarray(leaf))), f"{name} non-finite"
+
+
+def test_retrain_reinitializes(ctx):
+    sub = dataclasses.replace(ctx, overrides={"epochs": 1})
+    p, bs = unlearn_method_registry.get("Retrain")(sub)
+    assert not _params_equal(p, ctx.params)
+
+
+def test_sfron_reduces_forget_accuracy_direction(ctx):
+    """After brief training to fit, SFRon ascent should push forget-set CE up
+    relative to doing nothing (direction check, not a benchmark)."""
+    cls = ctx.classifier
+    # first overfit a few steps so there is something to forget
+    ft = dataclasses.replace(ctx, overrides={"epochs": 2})
+    fitted, fitted_bs = unlearn_method_registry.get("Finetune")(ft)
+    from uurg_tpu.data.arrays import epoch_batches
+
+    base = cls.validate(fitted, fitted_bs,
+                        epoch_batches(ctx.forget_train, 32))
+    sfron_ctx = dataclasses.replace(
+        ctx, params=fitted, batch_stats=fitted_bs,
+        overrides={"n_iters": 12, "forget_freq": 1, "forget_alpha": 50.0,
+                   "mask": False})
+    p, bs = unlearn_method_registry.get("SFRon")(sfron_ctx)
+    after = cls.validate(p, bs, epoch_batches(ctx.forget_train, 32))
+    assert after["loss"] > base["loss"], (
+        f"forget loss should rise: {base['loss']} -> {after['loss']}")

@@ -3,8 +3,8 @@
 Replaces the reference's TF1 frozen-graph evaluator
 (DDPM/evaluator.py:32-36, classify_image_graph_def.pb). Emits the same three
 tensors the ADM suite reads: pool3 (2048-d), early spatial features (first 7
-channels of the mixed_6 tower output, 7x7x7 = 343-d — sFID convention), and
-1008-way logits.
+channels of the mixed_6 tower output, 17x17x7 = 2023-d — sFID convention),
+and 1008-way logits.
 
 Weights: ``load_inception_npz`` reads a flat npz keyed by flax path
 (convert once from the public TF/torchvision checkpoint with

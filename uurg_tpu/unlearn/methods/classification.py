@@ -306,9 +306,11 @@ def scrub(ctx: UnlearnContext, key=None):
         return kl * (kd_T**2) / logit_s.shape[0]
 
     def param_dist(p, swa):
+        if smoothing == 0.0:
+            return 0.0  # norm(0) has a NaN gradient; skip entirely
         leaves = jax.tree_util.tree_leaves(
             jax.tree_util.tree_map(jnp.subtract, p, swa))
-        return sum(jnp.linalg.norm(l.reshape(-1)) for l in leaves)
+        return sum(jnp.sqrt(jnp.sum(jnp.square(l)) + 1e-12) for l in leaves)
 
     @jax.jit
     def max_step(params, batch_stats, opt_state, swa_params, x, lr_now,

@@ -73,12 +73,15 @@ class SFRonState:
 def init_state(params, optimizer: optax.GradientTransformation,
                ema: bool = False, model_state=None, mask=None) -> SFRonState:
     opt_state = jax.jit(optimizer.init)(params)  # single device dispatch
+    # fresh copies: the step donates its input state, which would otherwise
+    # invalidate the caller's params buffers (and ema must not alias params)
+    copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
     return SFRonState(
         step=jnp.zeros((), jnp.int32),
-        params=params,
+        params=copy(params),
         opt_state=opt_state,
-        ema_params=params if ema else None,
-        model_state=model_state,
+        ema_params=copy(params) if ema else None,
+        model_state=copy(model_state) if model_state is not None else None,
         mask=mask,
     )
 

@@ -144,6 +144,71 @@ class DDPMWorkload:
             return self.rl_forget_loss_fn(label_to_forget, n_classes)
         raise NotImplementedError(unlearn_loss)
 
+    # -- SA (Selective Amnesia, EWC) ---------------------------------------
+
+    def sa_loss_fn(self, label_to_forget: int, gamma: float,
+                   lmbda: float) -> Callable:
+        """SA forgetting loss (DDPM/runners/diffusion.py:354-477 sa_forget):
+        eps-loss on uniform-noise images conditioned on the forgotten class
+        + gamma * eps-loss on 'remember' samples (no cond dropout), plus the
+        EWC quadratic pull toward the MLE params weighted by the FIM.
+
+        ``aux = (fisher_dict, params_mle)`` arrives as a jit argument.
+        """
+
+        def fn(params, batch, rng, aux):
+            fisher, params_mle = aux
+            x_rem, c_rem = batch
+            n = x_rem.shape[0]
+            k_u, k_t, k_ef, k_er = jax.random.split(rng, 4)
+            x_forget = jax.random.uniform(
+                k_u, x_rem.shape, jnp.float32, -1.0, 1.0)
+            c_forget = jnp.full((n,), label_to_forget, jnp.int32)
+            t = antithetic_timesteps(k_t, n, self.schedule.num_timesteps)
+            keep = jnp.ones((n,), bool)  # cond_drop_prob = 0
+
+            def apply_for(c):
+                return lambda x_t, t_vec: self.model.apply(
+                    {"params": params}, x_t, t_vec, c, keep, train=False)
+
+            noise_f = jax.random.normal(k_ef, x_rem.shape, jnp.float32)
+            noise_r = jax.random.normal(k_er, x_rem.shape, jnp.float32)
+            loss = noise_estimation_loss(
+                apply_for(c_forget), self.schedule, x_forget, t, noise_f)
+            loss += gamma * noise_estimation_loss(
+                apply_for(c_rem), self.schedule, x_rem, t, noise_r)
+            ewc = sum(
+                jnp.sum(f * jnp.square(p - m)) for f, p, m in zip(
+                    jax.tree_util.tree_leaves(fisher),
+                    jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params_mle)))
+            return loss + lmbda * ewc
+
+        return fn
+
+    def elbo_chunk_loss_fn(self, timesteps) -> Callable:
+        """Mean eps-loss over a FIXED timestep chunk for ONE example — the
+        per-sample full-ELBO FIM integrand (DDPM/fim.py + runners/
+        diffusion.py:262-352 save_fim, chunked over t). Use with
+        uurg_tpu.unlearn.make_per_sample_fisher_step."""
+        ts = jnp.asarray(timesteps, jnp.int32)
+
+        def fn(params, example, rng):
+            x, c = example  # single example (H, W, C), scalar label
+            noise = jax.random.normal(rng, (ts.shape[0],) + x.shape)
+            x_b = jnp.broadcast_to(x, noise.shape)
+            c_b = jnp.full((ts.shape[0],), c, jnp.int32)
+            keep = jnp.ones((ts.shape[0],), bool)
+
+            def apply_fn(x_t, t_vec):
+                return self.model.apply({"params": params}, x_t, t_vec, c_b,
+                                        keep, train=False)
+
+            return noise_estimation_loss(
+                apply_fn, self.schedule, x_b, ts, noise)
+
+        return fn
+
     # -- sampling ----------------------------------------------------------
 
     def make_sampler(self, *, num_steps: int = 50, cond_scale: float = 2.0,

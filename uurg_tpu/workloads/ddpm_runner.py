@@ -262,6 +262,75 @@ def sfron_forget(args, config, ckpt_dir: str,
     return state
 
 
+def sa_forget(args, config, ckpt_dir: str):
+    """Selective Amnesia (EWC) forgetting
+    (DDPM/runners/diffusion.py:354-477): contrastive loss on uniform-noise
+    forget images + gamma * remember loss + lambda * EWC pull toward the MLE
+    params, with the per-sample FIM from cli/fim.py. Fisher + MLE params are
+    jit arguments (aux), never closure constants."""
+    import optax
+
+    from uurg_tpu.core import tree as _tr
+
+    wl = DDPMWorkload.from_config(config)
+    params = load_params(args, config, wl)
+    fisher = restore_checkpoint(
+        os.path.join(args.ckpt_folder, "fisher_dict"), params)
+    params_mle = jax.tree_util.tree_map(jnp.asarray, params)
+    loss_fn = wl.sa_loss_fn(args.label_to_forget,
+                            config.training.get("gamma", 1.0),
+                            config.training.get("lmbda", 100.0))
+    opt = build_reference_optimizer(config)
+    opt_state = jax.jit(opt.init)(params)
+    ema = params if config.model.get("ema") else None
+    mu = config.model.get("ema_rate", 0.9999)
+
+    @jax.jit
+    def step(params, opt_state, ema, batch, rng, aux):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng, aux)
+        clip = config.optim.get("grad_clip")
+        if clip:
+            grads, _ = _tr.clip_by_global_norm(grads, clip)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema is not None:
+            ema = _tr.tree_lerp(params, ema, mu)
+        return params, opt_state, ema, loss
+
+    # 'remember' samples: generated class_samples folder for all classes
+    # except the forgotten one (all_but_one_class_path_dataset equivalent)
+    from uurg_tpu.data import load_image_folder
+
+    samples_dir = os.path.join(args.ckpt_folder, "class_samples")
+    try:
+        classes = [c for c in sorted(os.listdir(samples_dir))
+                   if c != str(args.label_to_forget)]
+        ds = load_image_folder(samples_dir, config.data.image_size, classes)
+    except (FileNotFoundError, NotADirectoryError):
+        log.warning("no class_samples dir; falling back to remain split")
+        ds, _ = class_forget_split(_load_train_dataset(args, config),
+                                   args.label_to_forget)
+
+    it = infinite_batches(ds, config.training.batch_size, seed=args.seed)
+    key = jax.random.key(args.seed)
+    for i in range(config.training.n_iters):
+        x, c = next(it)
+        key, sub = jax.random.split(key)
+        params, opt_state, ema, loss = step(
+            params, opt_state, ema, _device_batch(config, x, c), sub,
+            (fisher, params_mle))
+        if (i + 1) % config.training.log_freq == 0:
+            log.info("step %d loss %.4f", i, float(loss))
+        if (i + 1) % config.training.snapshot_freq == 0:
+            save_checkpoint(os.path.join(ckpt_dir, "ckpt"),
+                            {"params": params, "ema_params": ema,
+                             "step": jnp.asarray(i)})
+    save_checkpoint(os.path.join(ckpt_dir, "ckpt"),
+                    {"params": params, "ema_params": ema,
+                     "step": jnp.asarray(config.training.n_iters)})
+    return params
+
+
 def sample_images(args, config, params, labels: np.ndarray,
                   *, num_steps: int = 50, method: str = "ddim",
                   cond_scale: float = 2.0, batch_size: int | None = None,
