@@ -102,6 +102,14 @@ class DiTBlock(nn.Module):
         return x + gate_mlp[:, None, :].astype(self.dtype) * h
 
 
+class _ScanDiTBlock(DiTBlock):
+    """DiTBlock with a (carry, out) signature for nn.scan over depth."""
+
+    @nn.compact
+    def __call__(self, x, c):  # type: ignore[override]
+        return DiTBlock.__call__(self, x, c), None
+
+
 @dataclasses.dataclass(frozen=True)
 class DiTConfig:
     input_size: int = 32           # latent spatial size
@@ -114,6 +122,10 @@ class DiTConfig:
     num_classes: int = 1000
     learn_sigma: bool = True
     dtype: Any = jnp.bfloat16
+    scan_blocks: bool = True       # lax.scan over the depth axis: the 28
+                                   # identical blocks compile ONCE (order-of-
+                                   # magnitude compile-time win on TPU)
+    remat: bool = True             # rematerialize block activations in bwd
 
 
 class DiT(nn.Module):
@@ -148,9 +160,23 @@ class DiT(nn.Module):
         yemb = table(y)
         c = temb + yemb
 
-        for i in range(cfg.depth):
-            h = DiTBlock(D, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
-                         name=f"block_{i}")(h, c)
+        if cfg.scan_blocks:
+            block_cls = _ScanDiTBlock
+            if cfg.remat:
+                block_cls = nn.remat(block_cls, prevent_cse=False)
+            scan = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.depth,
+                in_axes=nn.broadcast,
+            )
+            h, _ = scan(D, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                        name="blocks")(h, c)
+        else:
+            for i in range(cfg.depth):
+                h = DiTBlock(D, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
+                             name=f"block_{i}")(h, c)
 
         # final adaLN + zero-init linear to p*p*outC
         out_c = C * 2 if cfg.learn_sigma else C

@@ -73,15 +73,24 @@ class ResNet(nn.Module):
     num_classes: int = 10
     width: int = 64
     dtype: Dtype = jnp.float32
+    imagenet_stem: bool = False  # 7x7/s2 conv + maxpool (224px inputs, used
+                                 # by the UA classifier probe à la torchvision
+                                 # ResNet-34 — DDPM/train_classifier.py)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, (3, 3), use_bias=False, dtype=self.dtype,
-                    name="conv_stem")(x)
+        if self.imagenet_stem:
+            x = nn.Conv(self.width, (7, 7), strides=(2, 2), use_bias=False,
+                        dtype=self.dtype, name="conv_stem")(x)
+        else:
+            x = nn.Conv(self.width, (3, 3), use_bias=False, dtype=self.dtype,
+                        name="conv_stem")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn_stem")(x)
         x = nn.relu(x)
+        if self.imagenet_stem:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = 2 if i > 0 and j == 0 else 1
