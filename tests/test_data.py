@@ -33,6 +33,19 @@ def test_random_forget_split_persists(tmp_path):
     assert len(f1) == 10
 
 
+def test_incremental_random_split_cumulative(tmp_path):
+    from uurg_tpu.data import incremental_random_split
+
+    ds = synthetic_dataset(n=100, seed=0)
+    stages = incremental_random_split(ds, 0.2, 4, seed=3,
+                                      save_path=str(tmp_path))
+    assert [len(f) for _, f in stages] == [5, 10, 15, 20]
+    # cumulative: stage i's forget set contains stage i-1's
+    f1 = set(map(tuple, stages[0][1].images.reshape(5, -1)[:, :4]))
+    f2 = set(map(tuple, stages[1][1].images.reshape(10, -1)[:, :4]))
+    assert f1 <= f2
+
+
 def test_infinite_batches_shapes_and_reshuffle():
     ds = synthetic_dataset(n=64, seed=0)
     it = infinite_batches(ds, 16, seed=0)

@@ -13,5 +13,9 @@ from uurg_tpu.data.datasets import (
     load_image_folder,
     synthetic_dataset,
 )
-from uurg_tpu.data.splits import class_forget_split, random_forget_split
+from uurg_tpu.data.splits import (
+    class_forget_split,
+    incremental_random_split,
+    random_forget_split,
+)
 from uurg_tpu.data.transforms import data_transform, inverse_data_transform

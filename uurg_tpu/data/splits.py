@@ -44,3 +44,35 @@ def random_forget_split(
     mask = np.zeros(n, dtype=bool)
     mask[forget_idx] = True
     return ds.subset(np.where(~mask)[0]), ds.subset(np.where(mask)[0])
+
+
+def incremental_random_split(
+    ds: ArrayDataset,
+    forget_ratio: float,
+    num_stages: int,
+    seed: int,
+    save_path: str | None = None,
+) -> list[tuple[ArrayDataset, ArrayDataset]]:
+    """Incremental unlearning stages (Classification/dataset/cifar10.py
+    IncrementalRandomUnlearn): one persisted permutation, cumulative forget
+    sets of i/num_stages * ratio per stage. Returns [(remain_i, forget_i)].
+    """
+    n = len(ds)
+    total_forget = int(n * forget_ratio)
+    idx_file = (os.path.join(save_path, "incremental_idx.npy")
+                if save_path else None)
+    if idx_file and os.path.exists(idx_file):
+        order = np.load(idx_file)
+    else:
+        order = np.random.default_rng(seed).permutation(n)[:total_forget]
+        if idx_file:
+            os.makedirs(save_path, exist_ok=True)
+            np.save(idx_file, order)
+    stages = []
+    for i in range(1, num_stages + 1):
+        k = total_forget * i // num_stages
+        mask = np.zeros(n, dtype=bool)
+        mask[order[:k]] = True
+        stages.append((ds.subset(np.where(~mask)[0]),
+                       ds.subset(np.where(mask)[0])))
+    return stages
