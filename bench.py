@@ -15,6 +15,7 @@ wall-clock numbers — see BASELINE.md).
 """
 import json
 import os
+import sys
 import time
 
 import jax
@@ -52,8 +53,14 @@ def main():
     })
     batch = 128
 
+    def note(msg):
+        print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
     wl = DDPMWorkload.from_config(cfg, dtype=jnp.bfloat16)
+    note("init_params...")
     params = wl.init_params(jax.random.key(0))
+    jax.block_until_ready(params)
+    note("init done")
 
     # realistic ~50%-sparse saliency mask, built in ONE jitted dispatch
     @jax.jit
@@ -67,6 +74,8 @@ def main():
         return jax.tree_util.tree_unflatten(treedef, masks)
 
     mask = make_mask(jax.random.key(1))
+    jax.block_until_ready(mask)
+    note("mask done")
 
     opt = make_optimizer("adam", 1e-4, beta1=0.9, eps=1e-8)
     sf_cfg = SFRonConfig(n_iters=150, forget_alpha=10.0, remain_alpha=1.0,
@@ -82,9 +91,11 @@ def main():
     rb = (jax.random.normal(jax.random.fold_in(kd, 1), (batch, 32, 32, 3)) * 0.5,
           jax.random.randint(jax.random.fold_in(kd, 2), (batch,), 1, 10))
 
+    note("state ready; compiling two-phase step...")
     # warmup / compile
     state, _ = step(state, fb, rb, jax.random.key(3))
     jax.block_until_ready(state.params)
+    note("step compiled")
 
     n_steps = 30
     t0 = time.perf_counter()
