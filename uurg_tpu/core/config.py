@@ -30,11 +30,18 @@ class Config:
 
     # -- mapping protocol -------------------------------------------------
     def __getattr__(self, name: str) -> Any:
+        # guard against recursion during deepcopy/pickle before _data exists
+        if name.startswith("__") or name == "_data":
+            raise AttributeError(name)
         try:
-            return self._data[name]
+            data = object.__getattribute__(self, "_data")
+        except AttributeError:
+            raise AttributeError(name) from None
+        try:
+            return data[name]
         except KeyError:
             raise AttributeError(f"Config has no field {name!r}; "
-                                 f"known: {sorted(self._data)}") from None
+                                 f"known: {sorted(data)}") from None
 
     def __setattr__(self, name: str, value: Any) -> None:
         self._data[name] = _wrap(value)

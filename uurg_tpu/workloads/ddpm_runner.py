@@ -129,9 +129,14 @@ def load_params(args, config, wl: DDPMWorkload, use_ema: bool = False):
         params = loaded["ema_params"] if (use_ema and loaded["ema_params"]) \
             else loaded["params"]
         return jax.tree_util.tree_map(jnp.asarray, params)
+    orbax_path = os.path.join(path, "ckpt")
+    if not os.path.exists(orbax_path):
+        log.warning("no checkpoint under %s — initializing fresh params",
+                    path)
+        return wl.init_params(jax.random.key(args.seed))
     target = {"params": wl.init_params(jax.random.key(0)),
               "ema_params": None, "step": jnp.zeros((), jnp.int32)}
-    ck = restore_checkpoint(os.path.join(path, "ckpt"), target)
+    ck = restore_checkpoint(orbax_path, target)
     return ck["ema_params"] if use_ema and ck["ema_params"] is not None \
         else ck["params"]
 
