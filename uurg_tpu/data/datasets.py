@@ -71,6 +71,33 @@ def load_svhn(root: str, train: bool = True) -> ArrayDataset:
     return ArrayDataset(np.ascontiguousarray(x), y)
 
 
+def load_stl10(root: str, train: bool = True) -> ArrayDataset:
+    """STL-10 binary format (96x96x3, CHW column-major per image)
+    (DDPM/dataset/__init__.py STL10 support)."""
+    split = "train" if train else "test"
+    with open(os.path.join(root, "stl10_binary", f"{split}_X.bin"), "rb") as f:
+        x = np.frombuffer(f.read(), np.uint8).reshape(-1, 3, 96, 96)
+        x = np.transpose(x, (0, 3, 2, 1))  # CHW col-major -> NHWC
+    with open(os.path.join(root, "stl10_binary", f"{split}_y.bin"), "rb") as f:
+        y = np.frombuffer(f.read(), np.uint8).astype(np.int64) - 1
+    return ArrayDataset(np.ascontiguousarray(x), y)
+
+
+def load_tinyimagenet(root: str, train: bool = True) -> ArrayDataset:
+    """TinyImageNet: npz archive {'images','labels'} or an ImageFolder tree
+    (train/<wnid>/images/*.JPEG). Covers the reference's pickled-tensor
+    loader semantics (Classification/dataset/tinyimagenet.py:23-73)."""
+    split = "train" if train else "val"
+    npz = os.path.join(root, f"tinyimagenet_{split}.npz")
+    if os.path.exists(npz):
+        d = np.load(npz)
+        return ArrayDataset(d["images"], d["labels"].astype(np.int64))
+    folder = os.path.join(root, "tiny-imagenet-200", split)
+    if os.path.isdir(folder):
+        return load_image_folder(folder, 64, center_crop=False)
+    raise FileNotFoundError(f"no TinyImageNet under {root}")
+
+
 def load_image_folder(root: str, resolution: int,
                       class_names: Sequence[str] | None = None,
                       center_crop: bool = True) -> ArrayDataset:
@@ -120,4 +147,6 @@ def _center_crop_resize(img, size: int):
 dataset_registry.register("CIFAR10", load_cifar10)
 dataset_registry.register("CIFAR100", load_cifar100)
 dataset_registry.register("SVHN", load_svhn)
+dataset_registry.register("STL10", load_stl10)
+dataset_registry.register("TinyImagenet", load_tinyimagenet)
 dataset_registry.register("synthetic", synthetic_dataset)

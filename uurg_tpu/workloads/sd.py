@@ -60,7 +60,7 @@ class SDWorkload:
     def get_learned_conditioning(self, prompts) -> jnp.ndarray:
         """Prompt strings -> CLIP hidden states (ddpm.py
         get_learned_conditioning parity)."""
-        ids = jnp.asarray(tokenize(prompts))
+        ids = jnp.asarray(tokenize(prompts, self.text.cfg.max_length))
         return self.text.apply({"params": self.text_params}, ids)
 
     def get_input(self, images: jnp.ndarray, prompts, key) -> tuple:
