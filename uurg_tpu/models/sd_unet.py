@@ -177,8 +177,9 @@ class SDUNet(nn.Module):
                     h = attn(h, f"down_{i}_attn_{j}")
                 hs.append(h)
             if i != len(cfg.channel_mult) - 1:
+                # symmetric pad 1 matches the CompVis stride-2 Downsample
                 hs.append(nn.Conv(hs[-1].shape[-1], (3, 3), (2, 2),
-                                  dtype=cfg.dtype,
+                                  padding=((1, 1), (1, 1)), dtype=cfg.dtype,
                                   name=f"down_{i}_downsample")(hs[-1]))
                 ds *= 2
 
