@@ -27,6 +27,17 @@ from uurg_tpu.models.layers import timestep_embedding
 Dtype = Any
 
 
+def dit_timestep_embedding(t: jnp.ndarray, dim: int,
+                           max_period: float = 10000.0) -> jnp.ndarray:
+    """DiT/ADM timestep embedding: freqs exp(-ln(P) * i / half), [cos | sin]
+    (DiT/models.py TimestepEmbedder.timestep_embedding)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
 def sincos_2d_pos_embed(dim: int, grid: int) -> np.ndarray:
     """Fixed 2D sin-cos positional embedding (DiT/models.py:270-312 math)."""
     def one_dim(dim, pos):
@@ -147,8 +158,10 @@ class DiT(nn.Module):
         pos = sincos_2d_pos_embed(D, grid)
         h = h + jnp.asarray(pos, cfg.dtype)[None]
 
-        # timestep embedding: sinusoidal(256) -> MLP(D)
-        temb = timestep_embedding(t, 256)
+        # timestep embedding: DiT convention (cos|sin, freqs /half —
+        # differs from the tensor2tensor layout in models/layers.py; matters
+        # for loading the public DiT checkpoints) -> MLP(D)
+        temb = dit_timestep_embedding(t, 256)
         temb = nn.Dense(D, dtype=jnp.float32, name="t_mlp1")(temb)
         temb = nn.Dense(D, dtype=jnp.float32, name="t_mlp2")(jax.nn.silu(temb))
 
