@@ -53,8 +53,16 @@ def main():
     wl = DiTWorkload.build(args.model, args.image_size, args.num_classes)
     params = wl.init_params(jax.random.key(args.global_seed))
     if args.ckpt:
-        ck = restore_checkpoint(args.ckpt, {"model": params, "ema": params})
-        params = ck["model"]
+        if args.ckpt.endswith((".pt", ".pth", ".ckpt")):
+            from uurg_tpu.io.dit_interop import load_dit_reference_checkpoint
+
+            params = jax.tree_util.tree_map(
+                jnp.asarray,
+                load_dit_reference_checkpoint(args.ckpt, wl.cfg))
+        else:
+            ck = restore_checkpoint(args.ckpt,
+                                    {"model": params, "ema": params})
+            params = ck["model"]
 
     mask = None
     if args.mask_path:

@@ -27,8 +27,20 @@ def setup_workload(args):
                                 args.image_size)
     _, wl.text_params = init_clip_text(jax.random.key(2), wl.text.cfg)
     _, unet_params = init_sd_unet(jax.random.key(0), wl.unet.cfg, latent)
-    if getattr(args, "ckpt_path", ""):
-        unet_params = restore_checkpoint(args.ckpt_path, unet_params)
+    ckpt = getattr(args, "ckpt_path", "")
+    if ckpt:
+        if ckpt.endswith((".ckpt", ".pt", ".pth")):
+            # CompVis sd-v1-* checkpoint (UNet subtree)
+            import torch
+
+            from uurg_tpu.io.sd_interop import compvis_unet_to_flax
+
+            sd = torch.load(ckpt, map_location="cpu", weights_only=False)
+            sd = sd.get("state_dict", sd)
+            unet_params = jax.tree_util.tree_map(
+                jnp.asarray, compvis_unet_to_flax(sd, wl.unet.cfg))
+        else:
+            unet_params = restore_checkpoint(ckpt, unet_params)
     return wl, unet_params
 
 

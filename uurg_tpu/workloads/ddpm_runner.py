@@ -114,6 +114,30 @@ def _save(ckpt_dir, state, config):
          "step": state.step},
         metadata={"config": config.to_dict()},
     )
+    # full train state for auto-resume (opt state + step; the reference is
+    # save-only with manual restart — SURVEY.md section 5)
+    save_checkpoint(
+        os.path.join(ckpt_dir, "train_state"),
+        {"step": state.step, "params": state.params,
+         "opt_state": state.opt_state, "ema_params": state.ema_params},
+    )
+
+
+def _try_resume(ckpt_dir, state):
+    """Restore a full train state if one exists; returns (state, step)."""
+    path = os.path.join(ckpt_dir, "train_state")
+    if not os.path.exists(path):
+        return state, 0
+    target = {"step": state.step, "params": state.params,
+              "opt_state": state.opt_state, "ema_params": state.ema_params}
+    ck = restore_checkpoint(path, target)
+    import dataclasses as _dc
+
+    state = _dc.replace(state, step=jnp.asarray(ck["step"]),
+                        params=ck["params"], opt_state=ck["opt_state"],
+                        ema_params=ck["ema_params"])
+    log.info("resumed from %s at step %d", path, int(ck["step"]))
+    return state, int(ck["step"])
 
 
 def load_params(args, config, wl: DDPMWorkload, use_ema: bool = False):
@@ -237,6 +261,7 @@ def sfron_forget(args, config, ckpt_dir: str,
     step = make_sfron_step(sf_cfg, opt, forget_loss, wl.train_loss_fn())
     state = init_state(params, opt, ema=bool(config.model.get("ema")),
                        mask=mask)
+    state, start_step = _try_resume(ckpt_dir, state)
 
     ds = _load_train_dataset(args, config)
     remain, forget = class_forget_split(ds, args.label_to_forget)
@@ -246,7 +271,7 @@ def sfron_forget(args, config, ckpt_dir: str,
                             seed=args.seed + 1, transform=_flip(config))
     key = jax.random.key(args.seed)
     start = time.time()
-    for i in range(config.training.n_iters):
+    for i in range(start_step, config.training.n_iters):
         fx, fc = next(f_it)
         rx, rc = next(r_it)
         state, metrics = step(state, _device_batch(config, fx, fc),
