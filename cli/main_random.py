@@ -21,7 +21,14 @@ def parse_args():
     p.add_argument("--model", type=str, default="ResNet18")
     p.add_argument("--num_classes", type=int, default=10)
     p.add_argument("--unlearn_method", type=str, default="SFRon")
+    p.add_argument("--forget_mode", type=str, default="random",
+                   choices=["random", "class"],
+                   help="random subset (RandomUnlearn) or full class "
+                        "(FullClassUnlearn) split")
+    p.add_argument("--label_to_forget", type=int, default=0)
     p.add_argument("--forget_ratio", type=float, default=0.1)
+    p.add_argument("--svc_mia", action="store_true",
+                   help="also run the SVC shadow-model MIA")
     p.add_argument("--checkpoint", type=str, default="",
                    help="pretrained model checkpoint (orbax dir)")
     p.add_argument("--retrain_checkpoint", type=str, default="",
@@ -62,8 +69,13 @@ def main():
         test_ds = synthetic_dataset(512, 32, 3, args.num_classes,
                                     args.seed + 1)
 
-    retain, forget = random_forget_split(train_ds, args.forget_ratio,
-                                         args.seed, args.save_path)
+    if args.forget_mode == "class":
+        from uurg_tpu.data import class_forget_split
+
+        retain, forget = class_forget_split(train_ds, args.label_to_forget)
+    else:
+        retain, forget = random_forget_split(train_ds, args.forget_ratio,
+                                             args.seed, args.save_path)
 
     model = create_model(args.model, args.num_classes)
     cls = Classifier(model)
@@ -104,6 +116,16 @@ def main():
     tp, tl = cls.collect_logits(u_params, u_bs, batches(test_ds))
     res["mia"] = membership_attack_prob(
         softmax(rp), rl, softmax(fp), fl, softmax(tp), tl)
+
+    if args.svc_mia:
+        from uurg_tpu.eval.mia import svc_mia
+
+        n = min(len(rl), len(tl))
+        svc = svc_mia((softmax(rp[:n]), rl[:n]), (softmax(tp[:n]), tl[:n]),
+                      (softmax(fp), fl), (np.zeros((0, rp.shape[1])),
+                                          np.zeros((0,), np.int64)))
+        for k, v in svc.items():
+            res[f"svc_{k}"] = v
 
     if args.retrain_checkpoint:
         ck = restore_checkpoint(args.retrain_checkpoint,
