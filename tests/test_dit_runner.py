@@ -1,0 +1,57 @@
+"""DiT runner loop tests (tiny latents, CPU)."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uurg_tpu.diffusion.gaussian import make_diffusion
+from uurg_tpu.models.dit import DiT, DiTConfig
+from uurg_tpu.workloads import dit_runner
+from uurg_tpu.workloads.dit import DiTWorkload
+
+TINY = DiTConfig(input_size=8, patch_size=2, in_channels=4, hidden_size=32,
+                 depth=2, num_heads=2, num_classes=10, dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def wl():
+    return DiTWorkload(model=DiT(TINY), cfg=TINY,
+                       diffusion=make_diffusion("", 20, learn_sigma=True))
+
+
+def _batches(key, label):
+    z = jax.random.normal(key, (4, 8, 8, 4))
+    y = jnp.full((4,), label, jnp.int32)
+    return itertools.repeat((z, y))
+
+
+def test_dit_forget_loop(wl, tmp_path):
+    params = wl.init_params(jax.random.key(0))
+    state = dit_runner.dit_forget(
+        wl, params,
+        _batches(jax.random.key(1), 0), _batches(jax.random.key(2), 3),
+        n_iters=3, lr=1e-4, forget_alpha=1e-2, unlearn_loss="adaga",
+        label_to_forget=0, log_freq=100)
+    assert int(state.step) == 3
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_dit_fisher_and_mask(wl, tmp_path):
+    params = wl.init_params(jax.random.key(0))
+    out = dit_runner.dit_generate_fisher(
+        wl, params, _batches(jax.random.key(1), 0),
+        _batches(jax.random.key(2), 3), n_iters=2, out_dir=str(tmp_path))
+    masks = dit_runner.dit_generate_mask(out, [1.0], params)
+    leaves = jax.tree_util.tree_leaves(masks[1.0])
+    assert all(set(np.unique(np.asarray(l))) <= {0.0, 1.0} for l in leaves)
+
+
+def test_dit_sample_fid_latents(wl):
+    params = wl.init_params(jax.random.key(0))
+    out = dit_runner.dit_sample_fid(
+        wl, params, np.asarray([1, 2, 3]), respacing="3", batch_size=2,
+        cond_scale=1.5)
+    assert out.shape == (3, 8, 8, 4)
