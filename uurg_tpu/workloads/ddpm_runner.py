@@ -103,24 +103,28 @@ def pretrain(args, config, ckpt_dir: str):
             start = time.time()
         if (i + 1) % config.training.snapshot_freq == 0:
             _save(ckpt_dir, state, config)
-    _save(ckpt_dir, state, config)
+    _save(ckpt_dir, state, config, full=True)
     return state
 
 
-def _save(ckpt_dir, state, config):
+def _save(ckpt_dir, state, config, full: bool = False):
+    """Snapshot = {params, ema, step} (reference ckpt.pth parity). The full
+    train state (opt state included, 2x bigger) is written only when
+    ``full`` — end of run or explicit resume points — because at
+    snapshot_freq=10 the IO otherwise dwarfs the compute (the 150-step
+    north-star run spends ~1s/10 steps computing)."""
     save_checkpoint(
         os.path.join(ckpt_dir, "ckpt"),
         {"params": state.params, "ema_params": state.ema_params,
          "step": state.step},
         metadata={"config": config.to_dict()},
     )
-    # full train state for auto-resume (opt state + step; the reference is
-    # save-only with manual restart — SURVEY.md section 5)
-    save_checkpoint(
-        os.path.join(ckpt_dir, "train_state"),
-        {"step": state.step, "params": state.params,
-         "opt_state": state.opt_state, "ema_params": state.ema_params},
-    )
+    if full:
+        save_checkpoint(
+            os.path.join(ckpt_dir, "train_state"),
+            {"step": state.step, "params": state.params,
+             "opt_state": state.opt_state, "ema_params": state.ema_params},
+        )
 
 
 def _try_resume(ckpt_dir, state):
@@ -158,11 +162,11 @@ def load_params(args, config, wl: DDPMWorkload, use_ema: bool = False):
         log.warning("no checkpoint under %s — initializing fresh params",
                     path)
         return wl.init_params(jax.random.key(args.seed))
-    target = {"params": wl.init_params(jax.random.key(0)),
-              "ema_params": None, "step": jnp.zeros((), jnp.int32)}
-    ck = restore_checkpoint(orbax_path, target)
-    return ck["ema_params"] if use_ema and ck["ema_params"] is not None \
+    # no target: structure read from disk (ema may or may not be present)
+    ck = restore_checkpoint(orbax_path)
+    params = ck["ema_params"] if use_ema and ck.get("ema_params") is not None \
         else ck["params"]
+    return jax.tree_util.tree_map(jnp.asarray, params)
 
 
 def generate_fisher(args, config, out_dir: str):
@@ -288,7 +292,7 @@ def sfron_forget(args, config, ckpt_dir: str,
             _save(ckpt_dir, state, config)
             if sample_hook is not None:
                 sample_hook(state, i)
-    _save(ckpt_dir, state, config)
+    _save(ckpt_dir, state, config, full=True)
     return state
 
 
@@ -376,13 +380,24 @@ def sample_images(args, config, params, labels: np.ndarray,
     sampler = jax.jit(wl.make_sampler(
         num_steps=num_steps, cond_scale=cond_scale, method=method))
     bs = batch_size or config.sampling.batch_size
+    # single-process multi-device: shard each batch over a data mesh so the
+    # lax.scan sampler runs SPMD across local chips
+    sharding = None
+    if jax.device_count() > 1:
+        from uurg_tpu.parallel import batch_sharding, make_mesh
+
+        sharding = batch_sharding(make_mesh({"data": jax.device_count()}))
+        bs = max(bs, jax.device_count()) // jax.device_count() * jax.device_count()
     out = []
     key = jax.random.key(seed)
     for start in range(0, len(labels), bs):
         chunk = labels[start : start + bs]
         pad = bs - len(chunk)
         key, sub = jax.random.split(key)
-        x = sampler(params, jnp.asarray(np.pad(chunk, (0, pad))), sub)
+        lab = jnp.asarray(np.pad(chunk, (0, pad)))
+        if sharding is not None:
+            lab = jax.device_put(lab, sharding)
+        x = sampler(params, lab, sub)
         x = inverse_data_transform(config, x)
         out.append(np.asarray(x[: len(chunk)]))
     imgs = np.concatenate(out)
