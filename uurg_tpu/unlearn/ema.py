@@ -16,8 +16,17 @@ from uurg_tpu.core.tree import tree_lerp
 def ema_update(shadow, params, mu: float):
     """shadow <- (1 - mu) * params + mu * shadow  (DDPM/DiT style;
     mu = 0.9999 for pretrain, 1e-4 during SFR-on per
-    DDPM/configs/cifar10_sfron.yml:24)."""
-    return tree_lerp(params, shadow, mu)
+    DDPM/configs/cifar10_sfron.yml:24).
+
+    The lerp computes in the params dtype and stores back in the shadow's
+    dtype, so a bf16 shadow (memory policy for XL models) stays bf16.
+    """
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda p, s: ((1.0 - mu) * p + mu * s.astype(p.dtype)).astype(s.dtype),
+        params, shadow,
+    )
 
 
 def fast_slow_mix(params_new, params_prev, beta: float):

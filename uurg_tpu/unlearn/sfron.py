@@ -71,16 +71,23 @@ class SFRonState:
 
 
 def init_state(params, optimizer: optax.GradientTransformation,
-               ema: bool = False, model_state=None, mask=None) -> SFRonState:
+               ema: bool = False, model_state=None, mask=None,
+               ema_dtype=None) -> SFRonState:
+    """``ema_dtype`` (e.g. bfloat16) halves the shadow-param memory — with
+    ``mu_dtype`` on the optimizer this fits DiT-XL/2 on one 16GB chip."""
     opt_state = jax.jit(optimizer.init)(params)  # single device dispatch
     # fresh copies: the step donates its input state, which would otherwise
     # invalidate the caller's params buffers (and ema must not alias params)
     copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
+    ema_params = None
+    if ema:
+        ema_params = jax.jit(lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(ema_dtype) if ema_dtype else x + 0, t))(params)
     return SFRonState(
         step=jnp.zeros((), jnp.int32),
         params=copy(params),
         opt_state=opt_state,
-        ema_params=copy(params) if ema else None,
+        ema_params=ema_params,
         model_state=copy(model_state) if model_state is not None else None,
         mask=mask,
     )
