@@ -146,6 +146,8 @@ class SDUNetConfig:
     context_dim: int = 768
     transformer_depth: int = 1
     dtype: Any = jnp.bfloat16
+    remat: bool = True   # rematerialize blocks in backward (860M model +
+                         # 4096-token attention activations on a 16GB chip)
 
 
 class SDUNet(nn.Module):
@@ -161,8 +163,13 @@ class SDUNet(nn.Module):
         emb = nn.Dense(ch0 * 4, dtype=cfg.dtype, name="time_embed_2")(silu(emb))
         context = context.astype(cfg.dtype)
 
+        res_cls = (nn.remat(SDResBlock, prevent_cse=False) if cfg.remat
+                   else SDResBlock)
+        attn_cls = (nn.remat(SpatialTransformer, prevent_cse=False)
+                    if cfg.remat else SpatialTransformer)
+
         def attn(h, name):
-            return SpatialTransformer(
+            return attn_cls(
                 cfg.num_heads, h.shape[-1] // cfg.num_heads,
                 cfg.transformer_depth, cfg.dtype, name=name)(h, context)
 
@@ -171,8 +178,8 @@ class SDUNet(nn.Module):
         ds = 1
         for i, mult in enumerate(cfg.channel_mult):
             for j in range(cfg.num_res_blocks):
-                h = SDResBlock(ch0 * mult, cfg.dtype,
-                               name=f"down_{i}_res_{j}")(hs[-1], emb)
+                h = res_cls(ch0 * mult, cfg.dtype,
+                            name=f"down_{i}_res_{j}")(hs[-1], emb)
                 if ds in cfg.attention_ds:
                     h = attn(h, f"down_{i}_attn_{j}")
                 hs.append(h)
@@ -183,15 +190,15 @@ class SDUNet(nn.Module):
                                   name=f"down_{i}_downsample")(hs[-1]))
                 ds *= 2
 
-        h = SDResBlock(hs[-1].shape[-1], cfg.dtype, name="mid_res_1")(hs[-1], emb)
+        h = res_cls(hs[-1].shape[-1], cfg.dtype, name="mid_res_1")(hs[-1], emb)
         h = attn(h, "mid_attn")
-        h = SDResBlock(h.shape[-1], cfg.dtype, name="mid_res_2")(h, emb)
+        h = res_cls(h.shape[-1], cfg.dtype, name="mid_res_2")(h, emb)
 
         for i in reversed(range(len(cfg.channel_mult))):
             for j in range(cfg.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = SDResBlock(ch0 * cfg.channel_mult[i], cfg.dtype,
-                               name=f"up_{i}_res_{j}")(h, emb)
+                h = res_cls(ch0 * cfg.channel_mult[i], cfg.dtype,
+                            name=f"up_{i}_res_{j}")(h, emb)
                 if ds in cfg.attention_ds:
                     h = attn(h, f"up_{i}_attn_{j}")
             if i != 0:
@@ -231,17 +238,29 @@ _METHOD_RULES = {
 }
 
 
+def _decide(path, method: str) -> bool:
+    inc, exc = _METHOD_RULES[method]
+    p = "/".join(str(k.key) for k in path)
+    if any(re.match(r, p) for r in exc):
+        return False
+    return any(re.match(r, p) for r in inc)
+
+
 def train_method_mask(params, method: str):
     """0/1 gradient mask implementing the reference's train_method param
     selection (SD/train-scripts/train-esd.py:152-210 policy names)."""
-    inc, exc = _METHOD_RULES[method]
-
-    def decide(path) -> float:
-        p = "/".join(str(k.key) for k in path)
-        if any(re.match(r, p) for r in exc):
-            return 0.0
-        return 1.0 if any(re.match(r, p) for r in inc) else 0.0
-
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: jnp.full(leaf.shape, decide(path), jnp.float32),
+        lambda path, leaf: jnp.full(leaf.shape,
+                                    float(_decide(path, method)),
+                                    jnp.float32),
         params)
+
+
+def train_method_leaf_mask(params, method: str):
+    """Static (python-bool) per-leaf mask for ``optax.masked``: frozen
+    layers carry NO optimizer state at all — on a 16GB chip this is what
+    makes the 860M SD UNet trainable (Adam state only for the selected
+    parameter subset). train_method subsets always select whole layers, so
+    the leaf-level mask is exact."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _decide(path, method), params)

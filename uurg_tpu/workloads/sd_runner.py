@@ -20,8 +20,23 @@ import optax
 
 from uurg_tpu.core import tree as tr
 from uurg_tpu.models.autoencoder_kl import AutoencoderKL
-from uurg_tpu.models.sd_unet import train_method_mask
+from uurg_tpu.models.sd_unet import train_method_leaf_mask, train_method_mask
 from uurg_tpu.train import make_optimizer
+
+
+def _method_optimizer(unet_params, train_method: str, lr: float):
+    """Adam over the train_method parameter subset only; frozen layers get
+    optax.set_to_zero (no update, NO optimizer state — fits the 860M UNet on
+    16GB), exactly the reference's param-group selection
+    (SD/train-scripts/nsfw_removal.py:67-81)."""
+    base = make_optimizer("adam", lr, mu_dtype=jnp.bfloat16)
+    if train_method == "full":
+        return base
+    leaf_mask = train_method_leaf_mask(unet_params, train_method)
+    labels = jax.tree_util.tree_map(
+        lambda on: "train" if on else "freeze", leaf_mask)
+    return optax.multi_transform(
+        {"train": base, "freeze": optax.set_to_zero()}, labels)
 from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
 from uurg_tpu.unlearn.sfron import init_state
 from uurg_tpu.workloads.sd import SDWorkload
@@ -65,16 +80,18 @@ def nsfw_removal(
     snapshot_hook: Callable | None = None,
     snapshot_freq: int = 200,
 ):
-    """SFR-on concept erasure (SD/train-scripts/nsfw_removal.py:38-214)."""
-    mask = _combine_mask(train_method_mask(unet_params, train_method),
-                         saliency_mask)
-    opt = make_optimizer("adam", lr)
+    """SFR-on concept erasure (SD/train-scripts/nsfw_removal.py:38-214).
+
+    train_method freezing happens at the optimizer level (optax.masked —
+    no state for frozen layers); the elementwise mask slot carries only the
+    Fisher saliency mask."""
+    opt = _method_optimizer(unet_params, train_method, lr)
     cfg = SFRonConfig(n_iters=n_iters, forget_alpha=forget_alpha,
                       remain_alpha=remain_alpha, alpha_sched="const",
                       forget_clip=None, remain_clip=None)
     step = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
                            wl.shared_step_loss)
-    state = init_state(unet_params, opt, mask=mask)
+    state = init_state(unet_params, opt, mask=saliency_mask)
     key = jax.random.key(seed)
     for i in range(n_iters):
         state, metrics = step(state, next(forget_batches),
@@ -90,17 +107,16 @@ def nsfw_removal(
 
 def _single_loss_loop(wl, unet_params, loss_fn, batches, *, n_iters, lr,
                       train_method="full", seed=0, prox=None, aux=None):
-    """Generic masked single-loss loop. ``aux`` (e.g. frozen base params for
-    ESD) and the train-method mask are jit ARGUMENTS — parameter-sized
-    closure constants become HLO literals and wreck TPU compiles."""
-    mask = train_method_mask(unet_params, train_method)
-    opt = make_optimizer("adam", lr)
+    """Generic single-loss loop. train_method freezing via optax.masked
+    (frozen layers: no grads applied, no optimizer state). ``aux`` (e.g.
+    frozen base params for ESD) is a jit ARGUMENT — parameter-sized closure
+    constants become HLO literals and wreck TPU compiles."""
+    opt = _method_optimizer(unet_params, train_method, lr)
     opt_state = jax.jit(opt.init)(unet_params)
 
     @jax.jit
-    def step(params, opt_state, batch, k, mask, aux):
+    def step(params, opt_state, batch, k, aux):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, k, aux)
-        grads = tr.tree_mul(grads, mask)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -109,7 +125,7 @@ def _single_loss_loop(wl, unet_params, loss_fn, batches, *, n_iters, lr,
     for i in range(n_iters):
         key, sub = jax.random.split(key)
         params, opt_state, loss = step(params, opt_state, next(batches), sub,
-                                       mask, aux)
+                                       aux)
         if prox is not None:
             params = prox(params)
     return params
