@@ -13,7 +13,6 @@ learned-sigma models, or ``(B, H, W, C)`` for fixed variance.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ pipeline in tests.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -11,7 +11,6 @@ GEGLU proj splits stay fused (same layout in both).
 """
 from __future__ import annotations
 
-import re
 from typing import Iterator
 
 import numpy as np

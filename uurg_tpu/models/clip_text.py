@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from uurg_tpu.models.dit import MHSA
 
 
 @dataclasses.dataclass(frozen=True)

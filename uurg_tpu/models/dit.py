@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from uurg_tpu.models.layers import timestep_embedding
 
 Dtype = Any
 

@@ -23,7 +23,6 @@ combines both losses into one masked update per step.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

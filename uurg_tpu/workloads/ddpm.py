@@ -11,7 +11,7 @@ Batch convention: ``(x, c)`` with x float32 NHWC already in model range
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

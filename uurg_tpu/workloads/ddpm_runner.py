@@ -8,7 +8,6 @@ saliency_unlearn (SalUn), generate_fisher, generate_mask; sampling modes
 """
 from __future__ import annotations
 
-import json
 import logging
 import os
 import time
@@ -18,7 +17,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uurg_tpu.core.config import Config
 from uurg_tpu.data import (
     ArrayDataset,
     class_forget_split,

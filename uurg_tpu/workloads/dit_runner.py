@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uurg_tpu.core import tree as tr
 from uurg_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
 from uurg_tpu.train import make_optimizer
 from uurg_tpu.unlearn import (

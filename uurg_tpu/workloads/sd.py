@@ -24,7 +24,6 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from uurg_tpu.diffusion.schedules import DiffusionSchedule, make_schedule
 from uurg_tpu.models.autoencoder_kl import AutoencoderKL, VAEConfig

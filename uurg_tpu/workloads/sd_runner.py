@@ -11,17 +11,21 @@ jitted, frozen forwards) — see ``encode_image_folder``.
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable, Iterator
+from typing import Callable, Iterator
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from uurg_tpu.core import tree as tr
 from uurg_tpu.models.autoencoder_kl import AutoencoderKL
-from uurg_tpu.models.sd_unet import train_method_leaf_mask, train_method_mask
+from uurg_tpu.models.sd_unet import train_method_leaf_mask
 from uurg_tpu.train import make_optimizer
+from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+from uurg_tpu.unlearn.sfron import init_state
+from uurg_tpu.workloads.sd import SDWorkload
+
+log = logging.getLogger("uurg.sd")
 
 
 def _method_optimizer(unet_params, train_method: str, lr: float):
@@ -37,11 +41,6 @@ def _method_optimizer(unet_params, train_method: str, lr: float):
         lambda on: "train" if on else "freeze", leaf_mask)
     return optax.multi_transform(
         {"train": base, "freeze": optax.set_to_zero()}, labels)
-from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
-from uurg_tpu.unlearn.sfron import init_state
-from uurg_tpu.workloads.sd import SDWorkload
-
-log = logging.getLogger("uurg.sd")
 
 
 def encode_image_folder(wl: SDWorkload, images: np.ndarray, prompts,
@@ -56,12 +55,6 @@ def encode_image_folder(wl: SDWorkload, images: np.ndarray, prompts,
         zs.append(np.asarray(enc(jnp.asarray(images[i:i + batch_size]), sub)))
     ctx = np.asarray(wl.get_learned_conditioning(prompts))
     return np.concatenate(zs), ctx
-
-
-def _combine_mask(method_mask, saliency_mask):
-    if saliency_mask is None:
-        return method_mask
-    return tr.tree_mul(method_mask, saliency_mask)
 
 
 def nsfw_removal(
