@@ -36,25 +36,25 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm(32, eps=1e-6) computed in float32 regardless of input dtype."""
+    """GroupNorm(32, eps=1e-6); statistics in float32, output in the input
+    dtype. Flax always reduces in >= fp32 (normalization._compute_stats), so
+    no explicit activation upcast is materialized — that would double HBM
+    traffic on every norm of a bandwidth-bound step."""
 
     num_groups: int = 32
     epsilon: float = 1e-6
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
         channels = x.shape[-1]
         groups = self.num_groups
         while channels % groups != 0:  # tiny test configs (<32 channels)
             groups //= 2
-        h = nn.GroupNorm(
+        return nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,
-            dtype=jnp.float32,
             param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return h.astype(orig_dtype)
+        )(x)
 
 
 class SelfAttention2D(nn.Module):
