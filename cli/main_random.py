@@ -27,6 +27,9 @@ def parse_args():
                         "(FullClassUnlearn) split")
     p.add_argument("--label_to_forget", type=int, default=0)
     p.add_argument("--forget_ratio", type=float, default=0.1)
+    p.add_argument("--incremental", type=int, default=0,
+                   help="N>0: incremental unlearning over N cumulative "
+                        "stages (IncrementalRandomUnlearn parity)")
     p.add_argument("--svc_mia", action="store_true",
                    help="also run the SVC shadow-model MIA")
     p.add_argument("--checkpoint", type=str, default="",
@@ -88,16 +91,37 @@ def main():
     def aug(x, rng):
         return random_flip_batch(pad_crop_batch(x, 4, rng), rng)
 
-    ctx = UnlearnContext(
-        classifier=cls, params=params, batch_stats=batch_stats,
-        retain_train=retain, forget_train=forget,
-        num_classes=args.num_classes, batch_size=args.batch_size,
-        seed=args.seed, save_path=args.save_path, transform=aug,
-        init_fn=lambda k: init_classifier(k, model),
-    )
     method = unlearn_method_registry.get(args.unlearn_method)
     t0 = time.time()
-    u_params, u_bs = method(ctx)
+    if args.incremental > 0:
+        # IncrementalRandomUnlearn parity: cumulative forget stages, each
+        # stage unlearning starting from the previous stage's model
+        from uurg_tpu.data import incremental_random_split
+
+        stages = incremental_random_split(
+            train_ds, args.forget_ratio, args.incremental, args.seed,
+            args.save_path)
+        u_params, u_bs = params, batch_stats
+        for si, (retain, forget) in enumerate(stages):
+            ctx = UnlearnContext(
+                classifier=cls, params=u_params, batch_stats=u_bs,
+                retain_train=retain, forget_train=forget,
+                num_classes=args.num_classes, batch_size=args.batch_size,
+                seed=args.seed + si, save_path=args.save_path,
+                transform=aug, init_fn=lambda k: init_classifier(k, model),
+            )
+            u_params, u_bs = method(ctx)
+            logging.info("incremental stage %d/%d done", si + 1,
+                         args.incremental)
+    else:
+        ctx = UnlearnContext(
+            classifier=cls, params=params, batch_stats=batch_stats,
+            retain_train=retain, forget_train=forget,
+            num_classes=args.num_classes, batch_size=args.batch_size,
+            seed=args.seed, save_path=args.save_path, transform=aug,
+            init_fn=lambda k: init_classifier(k, model),
+        )
+        u_params, u_bs = method(ctx)
     unlearn_time = time.time() - t0
 
     # evaluation: accuracies + MIA + JS vs retrained

@@ -68,18 +68,9 @@ def main():
         # exact unlearning: pretraining on the remain split only
         from uurg_tpu.data import class_forget_split
 
-        orig_loader = R._load_train_dataset
-
-        def remain_only(a, c):
-            remain, _ = class_forget_split(orig_loader(a, c),
-                                           args.label_to_forget)
-            return remain
-
-        R._load_train_dataset = remain_only
-        try:
-            R.pretrain(args, config, ckpt_dir)
-        finally:
-            R._load_train_dataset = orig_loader
+        remain, _ = class_forget_split(
+            R._load_train_dataset(args, config), args.label_to_forget)
+        R.pretrain(args, config, ckpt_dir, dataset=remain)
     elif args.mode == "generate_fisher":
         out = os.path.join(args.ckpt_folder or run_dir,
                            f"mask_{args.label_to_forget}")

@@ -68,8 +68,10 @@ def _device_batch(config, x, c):
     return x, jnp.asarray(c)
 
 
-def pretrain(args, config, ckpt_dir: str):
-    """Conditional DDPM pretraining (DDPM/runners/diffusion.py:101-177)."""
+def pretrain(args, config, ckpt_dir: str, dataset: ArrayDataset | None = None):
+    """Conditional DDPM pretraining (DDPM/runners/diffusion.py:101-177).
+    ``dataset`` overrides the config dataset (retrain mode passes the remain
+    split for exact unlearning)."""
     wl = DDPMWorkload.from_config(config)
     params = wl.init_params(jax.random.key(args.seed))
     opt = build_reference_optimizer(config)
@@ -85,7 +87,7 @@ def pretrain(args, config, ckpt_dir: str):
     step = make_sfron_step(cfg, opt, zero_loss, wl.train_loss_fn())
     state = init_state(params, opt, ema=bool(config.model.get("ema")))
 
-    ds = _load_train_dataset(args, config)
+    ds = dataset if dataset is not None else _load_train_dataset(args, config)
     it = infinite_batches(ds, config.training.batch_size, seed=args.seed,
                           transform=_flip(config))
     key = jax.random.key(args.seed)
