@@ -1,0 +1,1 @@
+from uurg_tpu.utils.profiling import StepTimer, timed, trace
