@@ -75,6 +75,62 @@ def test_sharded_matches_unsharded_train_step():
         float(m2["remain_loss"]), rel=1e-5)
 
 
+def test_unet_sfron_step_data_parallel_equivalence():
+    """The full DDPM SFR-on step (tiny UNet) under an 8-way data mesh must
+    match single-device numerics — the DataParallel-replacement claim
+    (SURVEY.md section 2.5) verified on the real train step."""
+    import jax.numpy as jnp
+
+    from uurg_tpu.core.config import Config
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+    from uurg_tpu.workloads.ddpm import DDPMWorkload
+
+    cfg = Config({
+        "data": {"image_size": 8, "channels": 3, "n_classes": 4,
+                 "rescaled": True},
+        "model": {"in_channels": 3, "out_ch": 3, "ch": 8, "ch_mult": [1, 2],
+                  "num_res_blocks": 1, "attn_resolutions": [4],
+                  "dropout": 0.0, "var_type": "fixedlarge",
+                  "resamp_with_conv": True, "cond_drop_prob": 0.0},
+        "diffusion": {"beta_schedule": "linear", "beta_start": 1e-4,
+                      "beta_end": 2e-2, "num_diffusion_timesteps": 16},
+        "training": {"lambd": 0.5},
+    })
+    wl = DDPMWorkload.from_config(cfg, dtype=jnp.float32)
+    params = wl.init_params(jax.random.key(0))
+    # SGD: Adam's first-step g/sqrt(g^2) normalization amplifies benign
+    # reduction-order noise on near-zero grads into O(lr) sign flips
+    opt = make_optimizer("sgd", 1e-3, momentum=0.9)
+    sf = SFRonConfig(n_iters=10, forget_alpha=1.0, alpha_sched="cosine",
+                     forget_clip=1.0, remain_clip=1.0)
+    step = make_sfron_step(sf, opt, wl.adaga_forget_loss_fn(),
+                           wl.train_loss_fn(), donate=False)
+
+    x = jax.random.normal(jax.random.key(1), (16, 8, 8, 3))
+    c = jax.random.randint(jax.random.key(2), (16,), 0, 4)
+    fb, rb = (x, c), (x, c)
+
+    s_single, m_single = step(init_state(params, opt), fb, rb,
+                              jax.random.key(3))
+
+    mesh = make_mesh({"data": 8})
+    state_r = replicate(init_state(params, opt), mesh)
+    s_shard, m_shard = step(state_r, shard_batch(fb, mesh),
+                            shard_batch(rb, mesh), jax.random.key(3))
+
+    assert float(m_single["remain_loss"]) == pytest.approx(
+        float(m_shard["remain_loss"]), rel=1e-4)
+    # max abs param deviation across the whole tree; Adam's first-step
+    # updates are O(lr)=1e-4, so 1e-6 agreement = matching numerics
+    max_dev = max(
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree_util.tree_leaves(s_single.params),
+                        jax.tree_util.tree_leaves(s_shard.params)))
+    assert max_dev < 2e-6, f"params diverged by {max_dev}"
+
+
 def test_fsdp_sharded_apply_matches_replicated():
     from uurg_tpu.models.unet_cond import UNetConfig, init_unet
 
