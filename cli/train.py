@@ -44,6 +44,8 @@ def parse_args():
     # mask generation
     p.add_argument("--threshold", type=float, nargs="+", default=[1.0])
     p.add_argument("--mask_ratio", type=float, nargs="+", default=[0.5])
+    p.add_argument("--n_iters", type=int, default=0,
+                   help="override config training.n_iters (smoke runs)")
     return p.parse_args()
 
 
@@ -55,6 +57,8 @@ def main():
     from uurg_tpu.workloads import ddpm_runner as R
 
     config = load_config(args.config)
+    if args.n_iters > 0:
+        config.training.n_iters = args.n_iters
     ds_name = config.data.dataset.lower()
     run_dir = os.path.join(args.exp, ds_name, args.mode,
                            time.strftime("%Y%m%d-%H%M%S"))
