@@ -48,17 +48,21 @@ def main():
     chunk_size = T // args.n_chunks
     fisher = tr.tree_zeros_like(params)
     key = jax.random.key(args.seed)
-    n_seen = 0
+    # ONE compiled program for every chunk: the timestep chunk rides in the
+    # per-example batch tuple instead of being a closure constant
+    step = make_per_sample_fisher_step(wl.elbo_chunk_loss_fn())
     for ci in range(args.n_chunks):
-        ts = np.arange(ci * chunk_size, (ci + 1) * chunk_size)
-        step = make_per_sample_fisher_step(wl.elbo_chunk_loss_fn(ts))
+        ts = np.arange(ci * chunk_size, (ci + 1) * chunk_size,
+                       dtype=np.int32)
+        n_seen = 0
         for x, c in epoch_batches(ds, args.batch_size):
-            if n_seen >= args.n_samples * (ci + 1):
+            if n_seen >= args.n_samples:
                 break
             x = data_transform(config, jnp.asarray(x))
             rngs = jax.random.split(key, x.shape[0])
             key = jax.random.fold_in(key, 1)
-            fisher = step(fisher, params, (x, jnp.asarray(c)), rngs)
+            ts_b = jnp.broadcast_to(jnp.asarray(ts), (x.shape[0],) + ts.shape)
+            fisher = step(fisher, params, (x, jnp.asarray(c), ts_b), rngs)
             n_seen += x.shape[0]
         logging.info("chunk %d/%d done", ci + 1, args.n_chunks)
 

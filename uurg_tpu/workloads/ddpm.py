@@ -186,15 +186,17 @@ class DDPMWorkload:
 
         return fn
 
-    def elbo_chunk_loss_fn(self, timesteps) -> Callable:
-        """Mean eps-loss over a FIXED timestep chunk for ONE example — the
+    def elbo_chunk_loss_fn(self) -> Callable:
+        """Mean eps-loss over a timestep chunk for ONE example — the
         per-sample full-ELBO FIM integrand (DDPM/fim.py + runners/
-        diffusion.py:262-352 save_fim, chunked over t). Use with
+        diffusion.py:262-352 save_fim, chunked over t). The timestep chunk
+        travels IN the example tuple ``(x, c, ts)`` so every chunk shares one
+        compiled program (a closure constant per chunk would force a
+        recompile per chunk). Use with
         uurg_tpu.unlearn.make_per_sample_fisher_step."""
-        ts = jnp.asarray(timesteps, jnp.int32)
 
         def fn(params, example, rng):
-            x, c = example  # single example (H, W, C), scalar label
+            x, c, ts = example  # (H, W, C), scalar label, (chunk,) int32
             noise = jax.random.normal(rng, (ts.shape[0],) + x.shape)
             x_b = jnp.broadcast_to(x, noise.shape)
             c_b = jnp.full((ts.shape[0],), c, jnp.int32)
