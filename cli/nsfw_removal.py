@@ -102,8 +102,15 @@ def main():
     os.makedirs(args.save_path, exist_ok=True)
 
     def snapshot(params, step):
+        # both formats every snapshot, like the reference's save_model
+        # (nsfw_removal.py:217-244): orbax + diffusers-layout npz
         save_checkpoint(os.path.join(args.save_path, f"step_{step}"),
                         params)
+        from uurg_tpu.io.diffusers_interop import flax_unet_to_diffusers
+
+        np.savez(os.path.join(args.save_path, f"step_{step}_diffusers.npz"),
+                 **flax_unet_to_diffusers(jax.device_get(params),
+                                          wl.unet.cfg))
 
     final = nsfw_removal(
         wl, unet_params, fb, rb, n_iters=args.n_iters, lr=args.lr,
