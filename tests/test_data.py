@@ -74,6 +74,21 @@ def test_epoch_batches_covers_dataset():
     assert seen == 50
 
 
+def test_rand_augment_batch():
+    from uurg_tpu.data import rand_augment_batch
+
+    rng = np.random.default_rng(0)
+    x = rng.random((8, 16, 16, 3)).astype(np.float32)
+    out = rand_augment_batch(x, np.random.default_rng(1))
+    assert out.shape == x.shape
+    assert out.dtype == np.float32
+    assert 0.0 <= out.min() and out.max() <= 1.0
+    assert not np.allclose(out, x)
+    # deterministic given the rng state
+    out2 = rand_augment_batch(x, np.random.default_rng(1))
+    np.testing.assert_array_equal(out, out2)
+
+
 def test_data_transform_roundtrip():
     import jax.numpy as jnp
 

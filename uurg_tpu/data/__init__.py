@@ -4,6 +4,7 @@ from uurg_tpu.data.arrays import (
     infinite_batches,
     random_flip_batch,
     pad_crop_batch,
+    rand_augment_batch,
 )
 from uurg_tpu.data.datasets import (
     dataset_registry,

@@ -58,6 +58,48 @@ def pad_crop_batch(x: np.ndarray, pad: int, rng: np.random.Generator) -> np.ndar
                   rows[:, :, None], cols[:, None, :], :]
 
 
+def rand_augment_batch(x: np.ndarray, rng: np.random.Generator,
+                       num_ops: int = 2, magnitude: float = 9.0
+                       ) -> np.ndarray:
+    """Light numpy RandAugment (TinyImageNet recipe parity —
+    Classification/dataset/tinyimagenet.py uses torchvision RandAugment).
+
+    Vectorized ops on float32 [0,1] NHWC batches: brightness, contrast,
+    solarize, posterize, translate-x/y, flip. Per-sample op choice."""
+    n = len(x)
+    m = magnitude / 30.0
+    out = x.copy()
+    for _ in range(num_ops):
+        ops = rng.integers(0, 6, n)
+        signs = rng.choice([-1.0, 1.0], n)
+        for op in range(6):
+            idx = np.where(ops == op)[0]
+            if len(idx) == 0:
+                continue
+            sub = out[idx]
+            if op == 0:    # brightness
+                sub = np.clip(sub + signs[idx, None, None, None] * m, 0, 1)
+            elif op == 1:  # contrast
+                mean = sub.mean(axis=(1, 2, 3), keepdims=True)
+                f = 1.0 + signs[idx, None, None, None] * m
+                sub = np.clip(mean + (sub - mean) * f, 0, 1)
+            elif op == 2:  # solarize
+                thresh = 1.0 - m
+                sub = np.where(sub >= thresh, 1.0 - sub, sub)
+            elif op == 3:  # posterize
+                bits = max(1, int(8 - 4 * m))
+                q = 2**bits
+                sub = np.floor(sub * q) / q
+            elif op == 4:  # translate-x
+                shift = int(signs[idx[0]] * m * sub.shape[2] * 0.3) or 1
+                sub = np.roll(sub, shift, axis=2)
+            else:          # translate-y
+                shift = int(signs[idx[0]] * m * sub.shape[1] * 0.3) or 1
+                sub = np.roll(sub, shift, axis=1)
+            out[idx] = sub
+    return out
+
+
 def epoch_batches(
     ds: ArrayDataset,
     batch_size: int,
