@@ -258,3 +258,45 @@ def test_sfron_lr_schedule_applied():
     # with lr(0)=1.0 the first sgd step moves w by lr * 2*(w-10) = 20
     state, _ = step(state, target, target, jax.random.key(0))
     assert float(state.params["w"][0]) == pytest.approx(20.0, rel=1e-4)
+
+
+def test_forget_alpha_zero_is_single_optimizer_update():
+    """Pretrain reuses the SFR-on engine with forget_alpha=0 — that must
+    compile to exactly ONE Adam update per step (reference
+    DDPM/runners/diffusion.py:138-158), not a remain update plus a phantom
+    zero-grad Adam apply (which decays mu and double-counts bias correction)."""
+    import optax
+
+    params = {"w": jnp.asarray([[1.0, -0.5], [0.3, 2.0]]),
+              "b": jnp.asarray([0.1, -0.2])}
+    batch = (jax.random.normal(jax.random.key(3), (4, 2)),
+             jax.random.normal(jax.random.key(4), (4, 2)))
+
+    def loss(params, b, rng):
+        x, y = b
+        return jnp.mean((x @ params["w"] + params["b"] - y) ** 2)
+
+    opt = make_optimizer("adam", 1e-2)
+    cfg = SFRonConfig(n_iters=10, forget_alpha=0.0, alpha_sched="const",
+                      forget_freq=1, forget_clip=None, remain_clip=None,
+                      ema_mu=None)
+    # forget loss would blow up if ever evaluated
+    boom = lambda p, b, k: 1e30 * tr.global_norm(p)
+    step = make_sfron_step(cfg, opt, boom, loss, donate=False)
+    state = init_state(params, opt, ema=False)
+    new_state, metrics = step(state, batch, batch, jax.random.key(0))
+
+    # manual single Adam update with the same rng stream
+    k_f, k_r = jax.random.split(jax.random.fold_in(jax.random.key(0), 0))
+    grads = jax.grad(loss)(params, batch, k_r)
+    opt_state = opt.init(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    expected = optax.apply_updates(params, updates)
+
+    for k in params:
+        np.testing.assert_allclose(np.asarray(new_state.params[k]),
+                                   np.asarray(expected[k]), rtol=1e-6)
+    counts = [int(x) for x in jax.tree_util.tree_leaves(new_state.opt_state)
+              if np.asarray(x).dtype == np.int32 and np.asarray(x).ndim == 0]
+    assert all(c == 1 for c in counts), counts
+    assert float(metrics["forget_loss"]) == 0.0

@@ -58,6 +58,21 @@ def pad_crop_batch(x: np.ndarray, pad: int, rng: np.random.Generator) -> np.ndar
                   rows[:, :, None], cols[:, None, :], :]
 
 
+def _shift_zero_fill(x: np.ndarray, shift: int, axis: int) -> np.ndarray:
+    """Shift a batch along ``axis`` with zero fill (affine translate)."""
+    out = np.zeros_like(x)
+    src = [slice(None)] * x.ndim
+    dst = [slice(None)] * x.ndim
+    if shift >= 0:
+        dst[axis] = slice(shift, None)
+        src[axis] = slice(None, x.shape[axis] - shift)
+    else:
+        dst[axis] = slice(None, shift)
+        src[axis] = slice(-shift, None)
+    out[tuple(dst)] = x[tuple(src)]
+    return out
+
+
 def rand_augment_batch(x: np.ndarray, rng: np.random.Generator,
                        num_ops: int = 2, magnitude: float = 9.0
                        ) -> np.ndarray:
@@ -90,12 +105,15 @@ def rand_augment_batch(x: np.ndarray, rng: np.random.Generator,
                 bits = max(1, int(8 - 4 * m))
                 q = 2**bits
                 sub = np.floor(sub * q) / q
-            elif op == 4:  # translate-x
-                shift = int(signs[idx[0]] * m * sub.shape[2] * 0.3) or 1
-                sub = np.roll(sub, shift, axis=2)
-            else:          # translate-y
-                shift = int(signs[idx[0]] * m * sub.shape[1] * 0.3) or 1
-                sub = np.roll(sub, shift, axis=1)
+            elif op in (4, 5):  # translate-x / translate-y (zero-fill, like
+                # torchvision RandAugment affine translate — not wraparound)
+                axis = 2 if op == 4 else 1
+                mag = int(m * sub.shape[axis] * 0.3) or 1
+                for s in (-1, 1):
+                    grp = signs[idx] == s
+                    if not grp.any():
+                        continue
+                    sub[grp] = _shift_zero_fill(sub[grp], s * mag, axis)
             out[idx] = sub
     return out
 

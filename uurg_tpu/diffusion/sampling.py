@@ -21,11 +21,14 @@ ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
 def make_step_sequence(num_timesteps: int, num_steps: int,
-                       kind: str = "uniform") -> np.ndarray:
+                       kind: str = "uniform", offset: int = 0) -> np.ndarray:
     """Sub-sequence of timesteps for accelerated sampling (ascending).
 
     ``uniform`` matches DDPM/runners/diffusion.py skip = T // timesteps,
     seq = range(0, T, skip); ``quad`` is the quadratic spacing variant.
+    ``offset=1`` reproduces the LDM convention (SD/ldm/modules/
+    diffusionmodules/util.py make_ddim_timesteps adds +1 "to get the final
+    alpha values right"), giving 1, 1+skip, ... instead of 0, skip, ...
     """
     if kind == "uniform":
         skip = num_timesteps // num_steps
@@ -35,7 +38,7 @@ def make_step_sequence(num_timesteps: int, num_steps: int,
         seq = seq.astype(int)
     else:
         raise NotImplementedError(kind)
-    return seq
+    return seq + offset
 
 
 def _seq_pairs(seq: Sequence[int]) -> tuple[np.ndarray, np.ndarray]:

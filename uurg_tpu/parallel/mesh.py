@@ -35,6 +35,17 @@ def make_mesh(axis_sizes: dict[str, int] | None = None,
         known = int(np.prod([s for s in sizes if s != -1]))
         sizes[sizes.index(-1)] = len(devices) // known
     total = int(np.prod(sizes))
+    if total > len(devices):
+        raise ValueError(
+            f"mesh axes {dict(zip(names, sizes))} need {total} devices, "
+            f"only {len(devices)} available")
+    if total < len(devices):
+        import warnings
+
+        warnings.warn(
+            f"mesh axes {dict(zip(names, sizes))} use {total} of "
+            f"{len(devices)} devices; use -1 on one axis to fill the rest",
+            stacklevel=2)
     mesh_devices = np.asarray(devices[:total]).reshape(sizes)
     return Mesh(mesh_devices, tuple(names))
 

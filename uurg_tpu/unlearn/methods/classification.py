@@ -55,7 +55,8 @@ class UnlearnContext:
 
 
 def _epochs_to_steps(ds_len: int, batch_size: int, epochs: int) -> int:
-    return max(1, ds_len // batch_size) * epochs
+    # ceil: cover the reference DataLoader's final partial batch per epoch
+    return max(1, -(-ds_len // batch_size)) * epochs
 
 
 def _train_epochs(ctx: UnlearnContext, params, batch_stats, ds: ArrayDataset,
@@ -72,7 +73,10 @@ def _train_epochs(ctx: UnlearnContext, params, batch_stats, ds: ArrayDataset,
     opt = make_optimizer(opt_name, lr, momentum=momentum,
                          weight_decay=weight_decay)
     opt_state = jax.jit(opt.init)(params)
-    steps_per_epoch = max(1, len(ds) // ctx.batch_size)
+    # ceil: the reference DataLoader yields a final partial batch each epoch;
+    # with fixed jit shapes we wrap around instead (every sample seen at
+    # least once per epoch) rather than silently dropping the remainder
+    steps_per_epoch = max(1, -(-len(ds) // ctx.batch_size))
 
     def loss_fn(p, bs, batch, key):
         if loss_builder is not None:
@@ -233,7 +237,7 @@ def bad_teacher(ctx: UnlearnContext, key=None):
     params, batch_stats = ctx.params, ctx.batch_stats
     opt_state = jax.jit(opt.init)(params)
     epochs = ctx.hp("epochs", 10)
-    steps_per_epoch = max(1, len(merged) // ctx.batch_size)
+    steps_per_epoch = max(1, -(-len(merged) // ctx.batch_size))
 
     @jax.jit
     def step(params, batch_stats, opt_state, x, flags_b, lr_now,

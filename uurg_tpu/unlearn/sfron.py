@@ -161,7 +161,28 @@ def make_sfron_step(
                 grads = tr.tree_mul(grads, mask)
             return loss, grads, mstate
 
-        if cfg.method == "ron":
+        # Statically disabled forgetting (pretrain/retrain reuse this engine
+        # with forget_alpha=0): the forget phase must not merely contribute
+        # zero gradients — optax's Adam on all-zero grads still decays the
+        # first moment and double-increments the bias-correction count, i.e.
+        # a phantom extra update per step vs the reference's single
+        # optimizer.step() (DDPM/runners/diffusion.py:138-158). Skip the
+        # phase entirely at trace time.
+        forget_off = cfg.alpha_sched == "const" and cfg.forget_alpha == 0.0
+
+        if cfg.method == "ron" and forget_off:
+            params, opt_state, mstate, forget_loss = (
+                state.params, opt_state, state.model_state,
+                jnp.zeros((), jnp.float32))
+
+            (remain_loss, mstate), rgrads = jax.value_and_grad(
+                lambda p: eval_loss(remain_loss_fn, p, mstate, remain_batch,
+                                    k_remain), has_aux=True)(params)
+            rgrads = tr.tree_scale(rgrads, cfg.remain_alpha)
+            params, opt_state, rnorm = scaled_update(
+                rgrads, opt_state, params, cfg.remain_clip)
+
+        elif cfg.method == "ron":
             def do_forget(operand):
                 params, opt_state, mstate = operand
                 loss, grads, mstate = forget_grads(params, mstate)

@@ -156,7 +156,11 @@ class SDWorkload:
         """
         from uurg_tpu.diffusion import sampling as S
 
-        seq = S.make_step_sequence(self.schedule.num_timesteps, num_steps)
+        # offset=1: LDM's make_ddim_timesteps samples at 1, 1+skip, ...
+        # (SD/ldm/modules/diffusionmodules/util.py) — without it the final
+        # alpha is off by one step vs the reference pipeline
+        seq = S.make_step_sequence(self.schedule.num_timesteps, num_steps,
+                                   offset=1)
 
         def sample(params, context, key):
             n = context.shape[0]
