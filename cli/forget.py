@@ -30,6 +30,8 @@ def parse_args():
     p.add_argument("--method", type=str, default="ron",
                    choices=["ron", "joint"])
     p.add_argument("--mask-path", type=str, default="")
+    p.add_argument("--vae_ckpt", type=str, default="",
+                   help="VAE params for on-the-fly image-folder encoding")
     p.add_argument("--global-batch-size", type=int, default=32)
     p.add_argument("--global-seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=100)
@@ -70,31 +72,84 @@ def main():
         mask = jax.tree_util.tree_map(lambda m: jnp.asarray(m, jnp.float32),
                                       mask)
 
-    # latents: pre-encoded npz (images path) or synthetic for smoke runs
+    # data tiers (all stream without holding the corpus in RAM):
+    #   dir of npz shards  -> sharded latent reader (ImageNet-256 scale)
+    #   single .npz        -> in-memory latents
+    #   image folder       -> lazy per-batch decode + frozen-VAE encode in
+    #                         the loop (DiT/forget.py:265-267 parity)
     latent_size = args.image_size // 8
-    if args.data_path and os.path.exists(args.data_path):
-        data = np.load(args.data_path)
-        latents, labels = data["latents"], data["labels"]
-        from uurg_tpu.data.arrays import ArrayDataset
-        ds = ArrayDataset(latents, labels)
-    else:
-        logging.warning("no latent dataset; synthetic latents")
-        ds = synthetic_dataset(1024, latent_size, 4, args.num_classes,
-                               args.global_seed)
-    remain, forget = class_forget_split(ds, args.label_to_forget)
+    from uurg_tpu.data.lazy import (
+        LazyImageFolder,
+        list_latent_shards,
+        sharded_latent_batches,
+    )
 
-    def batches(d, seed):
-        it = infinite_batches(d, args.global_batch_size, seed=seed)
+    def device_stream(it):
         for x, y in it:
             yield jnp.asarray(x), jnp.asarray(y)
+
+    shards = list_latent_shards(args.data_path) if args.data_path else []
+    is_image_folder = (args.data_path and os.path.isdir(args.data_path)
+                       and not shards)
+
+    # a shard DIR (even with one file) streams; a bare .npz loads in-memory
+    use_sharded = len(shards) > 1 or (
+        len(shards) == 1 and os.path.isdir(args.data_path))
+    if use_sharded:
+        forget_it = device_stream(sharded_latent_batches(
+            shards, args.global_batch_size, seed=args.global_seed,
+            keep_label=lambda y: y == args.label_to_forget))
+        remain_it = device_stream(sharded_latent_batches(
+            shards, args.global_batch_size, seed=args.global_seed + 1,
+            keep_label=lambda y: y != args.label_to_forget))
+    else:
+        if shards:  # single npz, in-memory
+            data = np.load(shards[0])
+            from uurg_tpu.data.arrays import ArrayDataset
+
+            ds = ArrayDataset(data["latents"], data["labels"])
+        elif is_image_folder:
+            ds = LazyImageFolder(args.data_path, args.image_size)
+        else:
+            logging.warning("no latent dataset; synthetic latents")
+            ds = synthetic_dataset(1024, latent_size, 4, args.num_classes,
+                                   args.global_seed)
+        remain, forget = class_forget_split(ds, args.label_to_forget)
+
+        if is_image_folder:
+            # jitted frozen-VAE encode per batch
+            from uurg_tpu.io.checkpoint import restore_checkpoint as _rc
+            from uurg_tpu.models.autoencoder_kl import AutoencoderKL, init_vae
+
+            vae, vae_params = init_vae(jax.random.key(0),
+                                       resolution=args.image_size)
+            if getattr(args, "vae_ckpt", ""):
+                vae_params = _rc(args.vae_ckpt, vae_params)
+            enc = jax.jit(lambda x, k: vae.apply(
+                {"params": vae_params}, x, k, method=AutoencoderKL.encode))
+
+            def batches(d, seed):
+                key = jax.random.key(seed)
+                for x, y in infinite_batches(d, args.global_batch_size,
+                                             seed=seed):
+                    key, sub = jax.random.split(key)
+                    yield enc(jnp.asarray(x * 2.0 - 1.0), sub), jnp.asarray(y)
+
+            forget_it = batches(forget, args.global_seed)
+            remain_it = batches(remain, args.global_seed + 1)
+        else:
+            forget_it = device_stream(infinite_batches(
+                forget, args.global_batch_size, seed=args.global_seed))
+            remain_it = device_stream(infinite_batches(
+                remain, args.global_batch_size, seed=args.global_seed + 1))
 
     ckpt_dir = os.path.join(args.results_dir,
                             f"forget_{args.label_to_forget}")
     os.makedirs(ckpt_dir, exist_ok=True)
     dit_forget(
         wl, params,
-        batches(forget, args.global_seed),
-        batches(remain, args.global_seed + 1),
+        forget_it,
+        remain_it,
         n_iters=args.n_iters, lr=args.lr, forget_alpha=args.forget_alpha,
         remain_alpha=args.remain_alpha, unlearn_loss=args.unlearn_loss,
         method=args.method, label_to_forget=args.label_to_forget,

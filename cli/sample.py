@@ -35,26 +35,7 @@ def parse_args():
     return p.parse_args()
 
 
-def save_png_folder(images: np.ndarray, labels: np.ndarray, out_dir: str,
-                    start_index: int = 0):
-    from PIL import Image
-
-    os.makedirs(out_dir, exist_ok=True)
-    for i, (img, lab) in enumerate(zip(images, labels)):
-        Image.fromarray(img).save(
-            os.path.join(out_dir, f"{int(lab)}_{start_index + i:06d}.png"))
-
-
-def save_grid(images: np.ndarray, path: str, ncol: int = 10):
-    from PIL import Image
-
-    n, h, w, c = images.shape
-    nrow = (n + ncol - 1) // ncol
-    grid = np.zeros((nrow * h, ncol * w, c), np.uint8)
-    for i, img in enumerate(images):
-        r, col = divmod(i, ncol)
-        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
-    Image.fromarray(grid).save(path)
+from uurg_tpu.utils.images import save_grid, save_png_folder  # noqa: E402
 
 
 def main():

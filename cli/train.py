@@ -16,7 +16,6 @@ import argparse
 import logging
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -54,17 +53,39 @@ def main():
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s %(message)s")
     from uurg_tpu.core.config import load_config
+    from uurg_tpu.core.expdir import setup_run_dirs
     from uurg_tpu.workloads import ddpm_runner as R
 
     config = load_config(args.config)
     if args.n_iters > 0:
         config.training.n_iters = args.n_iters
-    ds_name = config.data.dataset.lower()
-    run_dir = os.path.join(args.exp, ds_name, args.mode,
-                           time.strftime("%Y%m%d-%H%M%S"))
-    ckpt_dir = os.path.join(run_dir, "ckpts")
-    os.makedirs(ckpt_dir, exist_ok=True)
-    config.ckpt_dir = ckpt_dir
+    # hyperparam-encoded run tree (DDPM/functions/__init__.py:30-91 parity)
+    run_dir = setup_run_dirs(args, config, exp_root=args.exp)
+    ckpt_dir = config.ckpt_dir
+
+    def sample_hook(state, step_idx):
+        """Snapshot sample grid (diffusion.py:874-928 sample_visualization):
+        one row per class from the EMA params, written under logs/."""
+        import numpy as np
+
+        from uurg_tpu.utils.images import save_grid
+
+        n_classes = config.data.n_classes
+        n_vis = min(config.training.get("visualization_samples", 100),
+                    10 * n_classes)
+        labels = np.tile(np.arange(n_classes), max(1, n_vis // n_classes))
+        params = state.ema_params if state.ema_params is not None \
+            else state.params
+        steps = min(50, config.diffusion.num_diffusion_timesteps)
+        imgs = R.sample_images(args, config, params, labels,
+                               num_steps=steps, cond_scale=args.cond_scale,
+                               batch_size=len(labels), seed=args.seed)
+        save_grid(imgs, os.path.join(config.log_dir,
+                                     f"samples_step{step_idx:05d}.png"),
+                  ncol=n_classes)
+
+    hook = sample_hook if config.training.get("visualization_samples") \
+        else None
 
     if args.mode == "pretrain":
         R.pretrain(args, config, ckpt_dir)
@@ -85,13 +106,13 @@ def main():
                            f"salun_mask_{args.label_to_forget}")
         R.generate_salun_mask(args, config, out, args.mask_ratio)
     elif args.mode == "sfron":
-        R.sfron_forget(args, config, ckpt_dir)
+        R.sfron_forget(args, config, ckpt_dir, sample_hook=hook)
     elif args.mode == "sa":
         R.sa_forget(args, config, ckpt_dir)
     elif args.mode == "salun":
         # SalUn = RandomLabel loss + top-k mask, via the same engine
         args.unlearn_loss = "rl"
-        R.sfron_forget(args, config, ckpt_dir)
+        R.sfron_forget(args, config, ckpt_dir, sample_hook=hook)
     print(f"done: {run_dir}")
 
 

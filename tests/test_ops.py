@@ -54,3 +54,20 @@ def test_dispatcher_fallback_on_cpu():
     out = attention(q, k, v)
     ref = _reference_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_fused_gradient_multi_block_accumulation():
+    # T > block_q: dk/dv accumulate across sequential q-block grid steps
+    q, k, v = _rand_qkv(jax.random.key(4), T=128, D=64)
+
+    def loss_fused(q, k, v):
+        return jnp.sum(fused_attention(q, k, v, 32, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

@@ -111,3 +111,89 @@ def test_make_step_sequence_uniform():
     seq = make_step_sequence(1000, 50)
     assert seq[0] == 0 and len(seq) == 50
     assert np.all(np.diff(seq) == 20)
+
+
+def test_ddim_sample_till_full_matches_ddim_sample():
+    # till=0 runs the whole chain -> identical to ddim_sample (eta=0)
+    from uurg_tpu.diffusion.sampling import ddim_sample_till
+
+    sched = make_schedule(num_diffusion_timesteps=100)
+    x0 = jax.random.normal(jax.random.key(0), (2, 4, 4, 3)) * 0.3
+    x_T = jax.random.normal(jax.random.key(1), (2, 4, 4, 3))
+    seq = make_step_sequence(100, 10, offset=1)
+    full = ddim_sample(_oracle_model(sched, x0), sched, x_T, seq)
+    till0 = ddim_sample_till(_oracle_model(sched, x0), sched, x_T, seq, 0)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(till0),
+                               atol=1e-5)
+
+
+def test_ddim_sample_till_partial_step_count():
+    # till=len(seq) performs exactly ONE step (ldm ddim.py:241-281:
+    # indices total-1 .. till-1); verify by replicating that single update.
+    from uurg_tpu.diffusion.sampling import ddim_sample_till
+
+    sched = make_schedule(num_diffusion_timesteps=100)
+    x_T = jax.random.normal(jax.random.key(1), (1, 4, 4, 3))
+    seq = make_step_sequence(100, 10, offset=1)
+    et = jnp.full_like(x_T, 0.1)
+    model = lambda x, t: et
+    out = ddim_sample_till(model, sched, x_T, seq, len(seq))
+    t, t_next = int(seq[-1]), int(seq[-2])
+    at = sched.alpha_bar_padded(jnp.asarray(t))
+    atn = sched.alpha_bar_padded(jnp.asarray(t_next))
+    x0_t = (x_T - et * jnp.sqrt(1 - at)) / jnp.sqrt(at)
+    want = jnp.sqrt(atn) * x0_t + jnp.sqrt(1 - atn) * et
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_ddim_sample_till_dynamic_under_jit():
+    # `till` traced: one compile serves every value
+    from uurg_tpu.diffusion.sampling import ddim_sample_till
+
+    sched = make_schedule(num_diffusion_timesteps=50)
+    x_T = jax.random.normal(jax.random.key(0), (1, 4, 4, 3))
+    seq = make_step_sequence(50, 5, offset=1)
+    model = _oracle_model(sched, jnp.zeros_like(x_T))
+    f = jax.jit(lambda till: ddim_sample_till(model, sched, x_T, seq, till))
+    outs = [np.asarray(f(t)) for t in range(len(seq) + 1)]
+    # fewer denoise steps -> noisier output (larger norm vs x0=0 target)
+    norms = [np.linalg.norm(o) for o in outs]
+    assert norms[0] < norms[-1]
+    for o in outs:
+        assert np.all(np.isfinite(o))
+
+
+def test_plms_constant_eps_matches_ddim():
+    # With a constant eps model every AB combination collapses to that eps,
+    # so PLMS == DDIM(eta=0) exactly.
+    from uurg_tpu.diffusion.sampling import plms_sample
+
+    sched = make_schedule(num_diffusion_timesteps=100)
+    x_T = jax.random.normal(jax.random.key(0), (2, 4, 4, 3))
+    seq = make_step_sequence(100, 10, offset=1)
+    et = jnp.full_like(x_T, 0.07)
+    model = lambda x, t: et
+    got = plms_sample(model, sched, x_T, seq)
+    want = ddim_sample(model, sched, x_T, seq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_plms_oracle_recovers_x0():
+    from uurg_tpu.diffusion.sampling import plms_sample
+
+    sched = make_schedule(num_diffusion_timesteps=50)
+    x0 = jax.random.normal(jax.random.key(0), (2, 4, 4, 3)) * 0.3
+    x_T = jax.random.normal(jax.random.key(1), (2, 4, 4, 3))
+    seq = make_step_sequence(50, 10)
+    out = plms_sample(_oracle_model(sched, x0), sched, x_T, seq)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+def test_plms_single_step():
+    from uurg_tpu.diffusion.sampling import plms_sample
+
+    sched = make_schedule(num_diffusion_timesteps=10)
+    x_T = jax.random.normal(jax.random.key(0), (1, 4, 4, 3))
+    out = plms_sample(lambda x, t: jnp.zeros_like(x), sched, x_T, [9])
+    assert out.shape == x_T.shape
+    assert np.all(np.isfinite(np.asarray(out)))

@@ -35,6 +35,17 @@ class ArrayDataset:
             return self.images.astype(np.float32) / 255.0
         return self.images.astype(np.float32)
 
+    def get_batch(self, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(float32 [0,1] images, int32 labels) for these indices — the
+        common protocol shared with the disk-backed datasets in
+        uurg_tpu.data.lazy (only the touched rows are converted)."""
+        x = self.images[idx]
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        else:
+            x = x.astype(np.float32)
+        return x, self.labels[idx].astype(np.int32)
+
 
 def random_flip_batch(x: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     """Horizontal random flip, per-sample (data.random_flip: true)."""
@@ -127,19 +138,20 @@ def epoch_batches(
     drop_last: bool = False,
     transform: Callable | None = None,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
-    """One pass over the dataset (for Fisher accumulation / eval)."""
+    """One pass over the dataset (for Fisher accumulation / eval). Works on
+    any dataset exposing the ``get_batch(idx)`` protocol (in-memory arrays
+    or the lazy disk-backed folders)."""
     rng = np.random.default_rng(seed)
     idx = np.arange(len(ds))
     if shuffle:
         rng.shuffle(idx)
-    images = ds.images_f32()
     end = len(idx) - (len(idx) % batch_size) if drop_last else len(idx)
     for start in range(0, end, batch_size):
         take = idx[start : start + batch_size]
-        x = images[take]
+        x, y = ds.get_batch(take)
         if transform is not None:
             x = transform(x, rng)
-        yield x, ds.labels[take].astype(np.int32)
+        yield x, y
 
 
 def infinite_batches(
@@ -157,15 +169,13 @@ def infinite_batches(
     batch — the grain/tfds-style per-host sharding from SURVEY.md section 7.
     """
     rng = np.random.default_rng(seed)
-    images = ds.images_f32()
-    labels = ds.labels.astype(np.int32)
     n = len(ds)
     while True:
         perm = rng.permutation(n)
         for start in range(0, n - batch_size + 1, batch_size):
             take = perm[start : start + batch_size]
             take = take[process_index::process_count]
-            x = images[take]
+            x, y = ds.get_batch(take)
             if transform is not None:
                 x = transform(x, rng)
-            yield x, labels[take]
+            yield x, y

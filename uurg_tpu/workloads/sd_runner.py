@@ -99,41 +99,87 @@ def nsfw_removal(
 
 
 def _single_loss_loop(wl, unet_params, loss_fn, batches, *, n_iters, lr,
-                      train_method="full", seed=0, prox=None, aux=None):
+                      train_method="full", seed=0, prox=None, aux=None,
+                      saliency_mask=None, loss_sink=None):
     """Generic single-loss loop. train_method freezing via optax.masked
     (frozen layers: no grads applied, no optimizer state). ``aux`` (e.g.
     frozen base params for ESD) is a jit ARGUMENT — parameter-sized closure
-    constants become HLO literals and wreck TPU compiles."""
+    constants become HLO literals and wreck TPU compiles.
+
+    ``batches`` is either an iterator of ready batches or a callable
+    ``(params, key) -> batch`` for methods whose data depends on the CURRENT
+    params (ESD partial denoising).  ``saliency_mask`` multiplies the grads
+    elementwise before the update (train-esd.py:319-324 mask_path)."""
     opt = _method_optimizer(unet_params, train_method, lr)
     opt_state = jax.jit(opt.init)(unet_params)
 
     @jax.jit
-    def step(params, opt_state, batch, k, aux):
+    def step(params, opt_state, batch, k, aux, mask):
         loss, grads = jax.value_and_grad(loss_fn)(params, batch, k, aux)
+        if mask is not None:
+            grads = jax.tree_util.tree_map(jnp.multiply, grads, mask)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
     key = jax.random.key(seed)
     params = unet_params
     for i in range(n_iters):
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, next(batches), sub,
-                                       aux)
+        key, k_b, k_s = jax.random.split(key, 3)
+        batch = batches(params, k_b) if callable(batches) else next(batches)
+        params, opt_state, loss = step(params, opt_state, batch, k_s, aux,
+                                       saliency_mask)
         if prox is not None:
             params = prox(params)
+        if loss_sink is not None:
+            loss_sink(i, loss)
     return params
 
 
+def esd_batch_builder(wl: SDWorkload, ctx_concept, ctx_empty, *,
+                      ddim_steps: int = 50, start_guidance: float = 3.0,
+                      latent_size: int = 64, batch_size: int = 1):
+    """ESD training-batch construction (train-esd.py:266-301): per call,
+    draw a DDIM index ``t_enc``, partially denoise a fresh start code with
+    the CURRENT params via ``quick_sample_till_t`` at ``start_guidance``,
+    and draw the DDPM timestep uniformly inside t_enc's bucket
+    (``og_num = t_enc/S*T .. (t_enc+1)/S*T``).
+
+    Returns ``build(params, key) -> (z_t, t_ddpm, ctx_concept, ctx_empty)``,
+    fully jitted (the dynamic-length denoise is a fori_loop, so one compile
+    covers every t_enc)."""
+    quick = wl.make_quick_sampler(ddim_steps=ddim_steps,
+                                  start_guidance=start_guidance)
+    T = wl.schedule.num_timesteps
+    ctx_c = jnp.broadcast_to(ctx_concept, (batch_size,) + ctx_concept.shape[-2:])
+    ctx_0 = jnp.broadcast_to(ctx_empty, (batch_size,) + ctx_empty.shape[-2:])
+
+    @jax.jit
+    def build(params, key):
+        k_enc, k_t, k_code = jax.random.split(key, 3)
+        t_enc = jax.random.randint(k_enc, (), 0, ddim_steps)
+        lo = t_enc * T // ddim_steps
+        hi = (t_enc + 1) * T // ddim_steps
+        t_ddpm = jax.random.randint(k_t, (batch_size,), 0, hi - lo) + lo
+        x_T = jax.random.normal(
+            k_code, (batch_size, latent_size, latent_size, 4), jnp.float32)
+        z = quick(params, ctx_c, ctx_0, x_T, t_enc)
+        return jax.lax.stop_gradient(z), t_ddpm, ctx_c, ctx_0
+
+    return build
+
+
 def train_esd(wl: SDWorkload, unet_params, batches, *, n_iters=1000,
-              lr=1e-5, train_method="xattn", negative_guidance=1.0, seed=0):
+              lr=1e-5, train_method="xattn", negative_guidance=1.0, seed=0,
+              saliency_mask=None):
     """ESD erasure (SD/train-scripts/train-esd.py:129-340). ``batches``
-    yields (z_t, t, ctx_concept, ctx_empty) built by partial denoising with
-    the CURRENT model — see ``esd_batch_builder``."""
+    yields (z_t, t, ctx_concept, ctx_empty); pass ``esd_batch_builder(...)``
+    (a callable seeing the CURRENT params) for the reference's
+    partial-denoise training distribution."""
     frozen = jax.tree_util.tree_map(jnp.asarray, unet_params)
     return _single_loss_loop(
         wl, unet_params, wl.esd_loss_fn(negative_guidance), batches,
         n_iters=n_iters, lr=lr, train_method=train_method, seed=seed,
-        aux=frozen)
+        aux=frozen, saliency_mask=saliency_mask)
 
 
 def certain_label(wl: SDWorkload, unet_params, forget_batches,
