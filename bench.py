@@ -32,6 +32,9 @@ A100_REF_STEPS_PER_SEC_EST = 3.0
 
 
 def main():
+    from uurg_tpu.utils.rng import configure_rng
+
+    configure_rng("auto")  # rbg on TPU: the training-CLI default
     from uurg_tpu.core.config import Config
     from uurg_tpu.core import tree as tr
     from uurg_tpu.train import make_optimizer

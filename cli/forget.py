@@ -46,6 +46,9 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from uurg_tpu.utils.rng import configure_rng
+
+    configure_rng("auto")
     from uurg_tpu.data import class_forget_split, load_image_folder, synthetic_dataset
     from uurg_tpu.data.arrays import infinite_batches
     from uurg_tpu.io.checkpoint import restore_checkpoint

@@ -20,7 +20,11 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=str, required=True)
     p.add_argument("--mode", type=str, default="sample_fid",
-                   choices=["sample_fid", "sample_classes", "visualization"])
+                   choices=["sample_fid", "sample_classes", "visualization",
+                            "sample_one_class"])
+    p.add_argument("--class_label", type=int, default=0,
+                   help="class sampled by sample_one_class (the forgotten "
+                        "class for classifier UA eval)")
     p.add_argument("--ckpt_folder", type=str, required=True)
     p.add_argument("--label_to_forget", type=int, default=-1,
                    help="class excluded from sample_fid (-1 = none)")
@@ -51,7 +55,16 @@ def main():
     out = args.out or os.path.join(args.ckpt_folder, "samples", args.mode)
 
     n_classes = config.data.n_classes
-    if args.mode == "sample_fid":
+    if args.mode == "sample_one_class":
+        # forget-class sample folder for the classifier UA/entropy probe
+        # (DDPM/runners/diffusion.py:670-823 sample_one_class)
+        labels = np.full(args.n_samples_per_class, args.class_label,
+                         np.int64)
+        imgs = R.sample_images(
+            args, config, params, labels, num_steps=args.sample_steps,
+            method=args.sampler, cond_scale=args.cond_scale, seed=args.seed)
+        save_png_folder(imgs, labels, out)
+    elif args.mode == "sample_fid":
         classes = [c for c in range(n_classes) if c != args.label_to_forget]
         # multi-host: shard classes*samples by process (sample_ddp.py analog)
         import jax

@@ -19,12 +19,21 @@ def main():
                    help="write one npz instead of PNG files (faster IO)")
     args = p.parse_args()
 
+    import logging
+
     import numpy as np
     from PIL import Image
 
-    from uurg_tpu.data import class_forget_split, load_cifar10
+    from uurg_tpu.data import class_forget_split, load_cifar10, synthetic_dataset
 
-    ds = load_cifar10(args.data_path, train=True)
+    try:
+        ds = load_cifar10(args.data_path, train=True)
+    except FileNotFoundError:
+        logging.warning("CIFAR-10 not found under %s — synthetic fallback "
+                        "(same distribution the smoke-train runners use)",
+                        args.data_path)
+        ds = synthetic_dataset(2048, 32, 3, 10)
+        ds.images = (ds.images * 255).round().astype(np.uint8)
     remain, _ = class_forget_split(ds, args.label_to_forget)
     out = args.out or f"cifar10_without_label_{args.label_to_forget}"
     if args.as_npz:

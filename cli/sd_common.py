@@ -14,6 +14,9 @@ import numpy as np
 
 
 def setup_workload(args):
+    from uurg_tpu.utils.rng import configure_rng
+
+    configure_rng("auto")
     """Build SDWorkload + params (random init or checkpoint)."""
     from uurg_tpu.io.checkpoint import restore_checkpoint
     from uurg_tpu.models.autoencoder_kl import init_vae

@@ -45,6 +45,10 @@ def parse_args():
     p.add_argument("--mask_ratio", type=float, nargs="+", default=[0.5])
     p.add_argument("--n_iters", type=int, default=0,
                    help="override config training.n_iters (smoke runs)")
+    p.add_argument("--rng_impl", type=str, default="auto",
+                   choices=["auto", "rbg", "threefry2x32"],
+                   help="PRNG impl; auto = hardware rbg on TPU (~20%% "
+                        "faster steps), threefry elsewhere")
     return p.parse_args()
 
 
@@ -54,6 +58,9 @@ def main():
                         format="%(asctime)s %(name)s %(message)s")
     from uurg_tpu.core.config import load_config
     from uurg_tpu.core.expdir import setup_run_dirs
+    from uurg_tpu.utils.rng import configure_rng
+
+    configure_rng(args.rng_impl)
     from uurg_tpu.workloads import ddpm_runner as R
 
     config = load_config(args.config)

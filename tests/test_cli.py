@@ -5,6 +5,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # 19 fresh-interpreter subprocesses
+
 CLI_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "cli")
 

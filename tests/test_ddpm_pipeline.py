@@ -46,6 +46,7 @@ def small_data(monkeypatch_module=None):
     return synthetic_dataset(64, 8, 3, 4, seed=0)
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path, small_data, monkeypatch):
     monkeypatch.setattr(R, "_load_train_dataset",
                         lambda a, c: small_data)
@@ -76,6 +77,7 @@ def test_full_pipeline(tmp_path, small_data, monkeypatch):
     assert imgs.dtype == np.uint8
 
 
+@pytest.mark.slow
 def test_salun_mask_generation(tmp_path, small_data, monkeypatch):
     monkeypatch.setattr(R, "_load_train_dataset",
                         lambda a, c: small_data)
@@ -85,6 +87,7 @@ def test_salun_mask_generation(tmp_path, small_data, monkeypatch):
     assert out
 
 
+@pytest.mark.slow
 def test_sa_forget_runs(tmp_path, small_data, monkeypatch):
     monkeypatch.setattr(R, "_load_train_dataset",
                         lambda a, c: small_data)

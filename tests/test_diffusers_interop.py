@@ -12,6 +12,7 @@ TINY = SDUNetConfig(model_channels=16, channel_mult=(1, 2),
                     context_dim=16, dtype=jnp.float32)
 
 
+@pytest.mark.slow
 def test_diffusers_export_key_schema_and_layouts():
     _, params = init_sd_unet(jax.random.key(0), TINY, 8, 8)
     sd = flax_unet_to_diffusers(params, TINY)
@@ -32,6 +33,7 @@ def test_diffusers_export_key_schema_and_layouts():
     assert sd["time_embedding.linear_1.weight"].shape == (64, 16)  # (out,in)
 
 
+@pytest.mark.slow
 def test_diffusers_export_value_roundtrip_spotcheck():
     _, params = init_sd_unet(jax.random.key(0), TINY, 8, 8)
     sd = flax_unet_to_diffusers(params, TINY)

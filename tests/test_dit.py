@@ -59,6 +59,7 @@ def test_label_null_embedding(tiny_dit):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_workload_losses_and_sampler():
     from uurg_tpu.workloads.dit import DiTWorkload
 

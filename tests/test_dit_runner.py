@@ -27,6 +27,7 @@ def _batches(key, label):
     return itertools.repeat((z, y))
 
 
+@pytest.mark.slow
 def test_dit_forget_loop(wl, tmp_path):
     params = wl.init_params(jax.random.key(0))
     state = dit_runner.dit_forget(
@@ -39,6 +40,7 @@ def test_dit_forget_loop(wl, tmp_path):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+@pytest.mark.slow
 def test_dit_fisher_and_mask(wl, tmp_path):
     params = wl.init_params(jax.random.key(0))
     out = dit_runner.dit_generate_fisher(

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.test_ddpm_pipeline import TINY_CFG
 from uurg_tpu.core import tree as tr
@@ -9,6 +10,7 @@ from uurg_tpu.unlearn import make_per_sample_fisher_step
 from uurg_tpu.workloads.ddpm import DDPMWorkload
 
 
+@pytest.mark.slow
 def test_elbo_chunk_per_sample_fisher():
     wl = DDPMWorkload.from_config(TINY_CFG, dtype=jnp.float32)
     params = wl.init_params(jax.random.key(0))

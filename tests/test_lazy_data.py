@@ -134,3 +134,37 @@ def test_dit_fisher_and_forget_over_shards(tmp_path):
     leaves = jax.tree_util.tree_leaves(
         final.params if hasattr(final, "params") else final)
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_sd_data_setup_helpers(tmp_path):
+    """Reference-named SD data setup (SD/train-scripts/dataset.py:120-176)
+    over local folders."""
+    from uurg_tpu.data.sd_data import (
+        setup_forget_data,
+        setup_forget_nsfw_data,
+        setup_remain_data,
+    )
+
+    (tmp_path / "imagenette").mkdir()
+    root = _make_folder(tmp_path / "imagenette", n_per_class=4)
+    f_it, desc = setup_forget_data(1, 2, 16, root=root)
+    x, y = next(f_it)
+    assert x.shape == (2, 16, 16, 3) and (y == 1).all()
+    assert x.min() >= -1.0 and x.max() <= 1.0  # [-1,1] signed range
+    assert desc == [f"an image of a {c}" for c in ("c0", "c1", "c2")]
+    r_it, _ = setup_remain_data(1, 2, 16, root=root)
+    _, ry = next(r_it)
+    assert (ry != 1).all()
+
+    # flat nsfw-style folders
+    from PIL import Image
+    for d in ("nsfw", "notnsfw"):
+        (tmp_path / d).mkdir()
+        for i in range(3):
+            Image.fromarray(np.full((8, 8, 3), i * 20, np.uint8)).save(
+                tmp_path / d / f"{i}.png")
+    fs, rs = setup_forget_nsfw_data(2, 8, nsfw_root=str(tmp_path / "nsfw"),
+                                    remain_root=str(tmp_path / "notnsfw"))
+    fx, _ = next(fs)
+    rx, _ = next(rs)
+    assert fx.shape == (2, 8, 8, 3) and rx.shape == (2, 8, 8, 3)

@@ -59,6 +59,7 @@ def test_timestep_conditioning_matters(tiny_unet):
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_full_cifar_config_param_count():
     # reference Conditional_Model at ch=128, mult (1,2,2,2) is ~35.7M params
     # (SURVEY.md section 0). Init only — no forward.

@@ -75,6 +75,7 @@ def test_sharded_matches_unsharded_train_step():
         float(m2["remain_loss"]), rel=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_sfron_step_data_parallel_equivalence():
     """The full DDPM SFR-on step (tiny UNet) under an 8-way data mesh must
     match single-device numerics — the DataParallel-replacement claim
@@ -131,6 +132,7 @@ def test_unet_sfron_step_data_parallel_equivalence():
     assert max_dev < 2e-6, f"params diverged by {max_dev}"
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_apply_matches_replicated():
     from uurg_tpu.models.unet_cond import UNetConfig, init_unet
 

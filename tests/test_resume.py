@@ -7,6 +7,7 @@ from uurg_tpu.workloads import ddpm_runner as R
 from tests.test_ddpm_pipeline import TINY_CFG, _args
 
 
+@pytest.mark.slow
 def test_sfron_resume_continues_from_saved_step(tmp_path, monkeypatch):
     monkeypatch.setattr(R, "_load_train_dataset",
                         lambda a, c: synthetic_dataset(64, 8, 3, 4))

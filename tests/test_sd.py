@@ -5,6 +5,8 @@ import numpy as np
 import pytest
 
 from uurg_tpu.models.autoencoder_kl import AutoencoderKL, VAEConfig, init_vae
+
+pytestmark = pytest.mark.slow  # big-model fixtures
 from uurg_tpu.models.clip_text import (
     CLIPTextConfig,
     hash_tokenize,

@@ -11,6 +11,8 @@ from uurg_tpu.io.sd_interop import (
 )
 from uurg_tpu.models.sd_unet import SDUNetConfig, init_sd_unet
 
+pytestmark = pytest.mark.slow  # big-model fixtures
+
 TINY = SDUNetConfig(model_channels=16, channel_mult=(1, 2),
                     num_res_blocks=1, attention_ds=(1,), num_heads=2,
                     context_dim=16, dtype=jnp.float32)

@@ -12,6 +12,8 @@ from uurg_tpu.models.sd_unet import SDUNetConfig, init_sd_unet
 from uurg_tpu.workloads import sd_runner
 from uurg_tpu.workloads.sd import SDWorkload
 
+pytestmark = pytest.mark.slow  # SD workload fixtures compile for minutes
+
 TINY_UNET = SDUNetConfig(model_channels=16, channel_mult=(1, 2),
                          num_res_blocks=1, attention_ds=(1, 2), num_heads=2,
                          context_dim=16, dtype=jnp.float32)

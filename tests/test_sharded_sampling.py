@@ -10,6 +10,7 @@ from uurg_tpu.workloads import ddpm_runner as R
 from tests.test_ddpm_pipeline import TINY_CFG, _args
 
 
+@pytest.mark.slow
 def test_sample_images_sharded_across_devices(tmp_path, monkeypatch):
     assert jax.device_count() == 8
     monkeypatch.setattr(R, "_load_train_dataset",

@@ -67,6 +67,10 @@ def test_crc32_fallback_stable():
     np.testing.assert_array_equal(a, b)
 
 
+import pytest
+
+
+@pytest.mark.slow  # two fresh jax-importing interpreters
 def test_tokenize_deterministic_across_processes():
     """Two FRESH interpreter processes must agree on token ids (round-1
     failure mode: PYTHONHASHSEED-salted hash())."""

@@ -22,6 +22,7 @@ def tiny_params():
     return params
 
 
+@pytest.mark.slow
 def test_roundtrip_flax_torch_flax(tiny_params):
     sd = flax_unet_params_to_torch(tiny_params)
     back = torch_unet_state_to_flax(sd)
@@ -68,6 +69,7 @@ def test_module_prefix_stripped(tiny_params):
     np.testing.assert_allclose(a, back["conv_in"]["kernel"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_forward_equivalence_after_roundtrip(tiny_params):
     """Converted params must produce identical model outputs."""
     model, _ = init_unet(jax.random.key(0), TINY)

@@ -93,6 +93,7 @@ def _flax_path_to_compvis(side, rest):
     return f"{side}.{base}.{suffix}"
 
 
+@pytest.mark.slow
 def test_vae_converter_matches_init_structure():
     sd = fake_compvis_vae(TINY_VAE)
     conv = compvis_vae_to_flax(sd, TINY_VAE)

@@ -98,7 +98,9 @@ class ResnetBlockDDPM(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray,
-                 *, deterministic: bool = True) -> jnp.ndarray:
+                 deterministic: bool = True) -> jnp.ndarray:
+        # (positional-friendly ``deterministic`` so nn.remat can mark it
+        # static by argnum)
         in_ch = x.shape[-1]
         h = swish(GroupNorm32(name="norm1")(x))
         h = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype, name="conv1")(h)

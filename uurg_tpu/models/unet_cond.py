@@ -47,11 +47,20 @@ class UNetConfig:
     n_classes: int = 10
     cond_drop_prob: float = 0.1
     dtype: Any = jnp.bfloat16
+    # rematerialize res blocks in the backward pass: trades extra conv FLOPs
+    # (MXU has headroom — bench ~47% util) for activation HBM traffic (the
+    # measured bottleneck); forward-only use is unaffected
+    remat: bool = False
 
     @classmethod
-    def from_config(cls, cfg, dtype=jnp.bfloat16) -> "UNetConfig":
-        """Build from a reference-schema YAML config (model/data sections)."""
+    def from_config(cls, cfg, dtype=jnp.bfloat16,
+                    remat: bool | None = None) -> "UNetConfig":
+        """Build from a reference-schema YAML config (model/data sections).
+        ``remat`` falls back to ``model.remat`` in the YAML (default off)."""
+        if remat is None:
+            remat = bool(cfg.model.get("remat", False))
         return cls(
+            remat=remat,
             in_channels=cfg.model.in_channels,
             out_channels=cfg.model.out_ch,
             ch=cfg.model.ch,
@@ -109,16 +118,20 @@ class CondUNet(nn.Module):
         emb = jnp.concatenate([temb, cemb], axis=-1)
 
         det = not train
+        # static_argnums counts the module instance as arg 0, so
+        # ``deterministic`` (x=1, emb=2) is arg 3
+        Block = (nn.remat(ResnetBlockDDPM, static_argnums=(3,))
+                 if cfg.remat else ResnetBlockDDPM)
 
         # downsampling
         hs = [nn.Conv(ch, (3, 3), dtype=dtype, name="conv_in")(x)]
         curr_res = cfg.resolution
         for i_level, mult in enumerate(cfg.ch_mult):
             for i_block in range(cfg.num_res_blocks):
-                h = ResnetBlockDDPM(
+                h = Block(
                     ch * mult, cfg.dropout, dtype,
                     name=f"down_{i_level}_block_{i_block}",
-                )(hs[-1], emb, deterministic=det)
+                )(hs[-1], emb, det)
                 if curr_res in cfg.attn_resolutions:
                     h = SelfAttention2D(
                         dtype, name=f"down_{i_level}_attn_{i_block}")(h)
@@ -130,20 +143,20 @@ class CondUNet(nn.Module):
 
         # middle
         h = hs[-1]
-        h = ResnetBlockDDPM(h.shape[-1], cfg.dropout, dtype,
-                            name="mid_block_1")(h, emb, deterministic=det)
+        h = Block(h.shape[-1], cfg.dropout, dtype,
+                  name="mid_block_1")(h, emb, det)
         h = SelfAttention2D(dtype, name="mid_attn_1")(h)
-        h = ResnetBlockDDPM(h.shape[-1], cfg.dropout, dtype,
-                            name="mid_block_2")(h, emb, deterministic=det)
+        h = Block(h.shape[-1], cfg.dropout, dtype,
+                  name="mid_block_2")(h, emb, det)
 
         # upsampling
         for i_level in reversed(range(num_res)):
             for i_block in range(cfg.num_res_blocks + 1):
                 h = jnp.concatenate([h, hs.pop()], axis=-1)
-                h = ResnetBlockDDPM(
+                h = Block(
                     ch * cfg.ch_mult[i_level], cfg.dropout, dtype,
                     name=f"up_{i_level}_block_{i_block}",
-                )(h, emb, deterministic=det)
+                )(h, emb, det)
                 if curr_res in cfg.attn_resolutions:
                     h = SelfAttention2D(
                         dtype, name=f"up_{i_level}_attn_{i_block}")(h)
