@@ -18,7 +18,8 @@ def parse_args():
     p.add_argument("--image-size", type=int, default=256,
                    choices=[256, 512])
     p.add_argument("--num-classes", type=int, default=1000)
-    p.add_argument("--label-to-forget", type=int, default=0)
+    p.add_argument("--label-to-forget", "--forget-class", type=int,
+                   default=0)
     p.add_argument("--ckpt", type=str, default="",
                    help="pretrained DiT checkpoint (orbax dir)")
     p.add_argument("--n-iters", type=int, default=600)
@@ -27,12 +28,22 @@ def parse_args():
     p.add_argument("--remain-alpha", type=float, default=1.0)
     p.add_argument("--unlearn-loss", type=str, default="ga",
                    choices=["ga", "adaga", "rl"])
+    p.add_argument("--decay-forget-alpha", action="store_true")
+    p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--method", type=str, default="ron",
                    choices=["ron", "joint"])
+    p.add_argument("--snapshot-every", type=int, default=500,
+                   help="CFG sample-grid frequency during forgetting")
+    p.add_argument("--vae", type=str, default="ema",
+                   help="accepted for reference parity (VAE weights come "
+                        "from --vae_ckpt here)")
+    p.add_argument("--num-workers", type=int, default=0,
+                   help="accepted for reference parity (host pipeline)")
     p.add_argument("--mask-path", type=str, default="")
     p.add_argument("--vae_ckpt", type=str, default="",
                    help="VAE params for on-the-fly image-folder encoding")
-    p.add_argument("--global-batch-size", type=int, default=32)
+    p.add_argument("--global-batch-size", "--batch-size", type=int,
+                   default=32)
     p.add_argument("--global-seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=10000)
@@ -149,6 +160,20 @@ def main():
     ckpt_dir = os.path.join(args.results_dir,
                             f"forget_{args.label_to_forget}")
     os.makedirs(ckpt_dir, exist_ok=True)
+
+    def sample_hook(state, step_idx):
+        """CFG latent sample grid every snapshot (DiT/forget.py:344-345
+        sample_visualization). Decodes with the VAE only in image-folder
+        mode (where real VAE params exist); otherwise saves the latents."""
+        from uurg_tpu.workloads.dit_runner import dit_sample_grid
+
+        p = state.ema_params if state.ema_params is not None else state.params
+        dit_sample_grid(wl, p,
+                        os.path.join(ckpt_dir, f"vis_step{step_idx:06d}.npz"),
+                        n_per_class=2,
+                        classes=list(range(min(8, args.num_classes))),
+                        seed=args.global_seed)
+
     dit_forget(
         wl, params,
         forget_it,
@@ -157,7 +182,10 @@ def main():
         remain_alpha=args.remain_alpha, unlearn_loss=args.unlearn_loss,
         method=args.method, label_to_forget=args.label_to_forget,
         mask=mask, seed=args.global_seed, log_freq=args.log_every,
+        decay_forget_alpha=args.decay_forget_alpha,
+        grad_clip=args.grad_clip,
         ckpt_dir=ckpt_dir, ckpt_freq=args.ckpt_every,
+        sample_hook=sample_hook, snapshot_freq=args.snapshot_every,
     )
     print(f"done: {ckpt_dir}")
 

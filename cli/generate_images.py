@@ -18,6 +18,15 @@ def main():
     p.add_argument("--prompts_path", type=str, required=True)
     p.add_argument("--save_path", type=str, required=True)
     p.add_argument("--ckpt_path", type=str, default="")
+    # reference parity flags (SD/eval-scripts/generate-images.py)
+    p.add_argument("--model_name", type=str, default="",
+                   help="accepted for reference parity; weights come from "
+                        "--ckpt_path")
+    p.add_argument("--device", type=str, default="",
+                   help="accepted for reference parity (device placement "
+                        "is JAX-managed)")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "plms"])
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=7.5)
@@ -38,7 +47,7 @@ def main():
     latent = args.image_size // 8
     sampler = jax.jit(wl.make_sampler(
         num_steps=args.ddim_steps, guidance_scale=args.guidance_scale,
-        latent_size=latent))
+        latent_size=latent, method=args.sampler))
     decode = jax.jit(lambda z: wl.vae.apply(
         {"params": wl.vae_params}, z, method=AutoencoderKL.decode))
 

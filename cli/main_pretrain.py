@@ -13,12 +13,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dataset", type=str, default="CIFAR10")
-    p.add_argument("--data_path", type=str, default="./data")
+    # reference flag names (Classification/main_pretrain.py) kept as aliases
+    p.add_argument("--dataset", "-d", type=str, default="CIFAR10")
+    p.add_argument("--data_path", "--data_dir", type=str, default="./data")
     p.add_argument("--model", type=str, default="ResNet18")
     p.add_argument("--num_classes", type=int, default=10)
+    p.add_argument("--input_size", nargs=3, type=int, default=None,
+                   help="accepted for reference parity")
+    p.add_argument("--sched", type=str, default="cosine",
+                   help="lr schedule (cosine, the reference default)")
     p.add_argument("--epochs", type=int, default=200)
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", "-b", type=int, default=256)
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--opt", type=str, default="sgd", choices=["sgd", "adamw"])
     p.add_argument("--momentum", type=float, default=0.9)

@@ -16,17 +16,26 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--dataset", type=str, default="CIFAR10")
-    p.add_argument("--data_path", type=str, default="./data")
+    # reference aliases (Classification/main_random.py flag names) are kept
+    # so the published command lines run verbatim
+    p.add_argument("--dataset", "-d", type=str, default="CIFAR10")
+    p.add_argument("--data_path", "--data_dir", type=str, default="./data")
     p.add_argument("--model", type=str, default="ResNet18")
     p.add_argument("--num_classes", type=int, default=10)
-    p.add_argument("--unlearn_method", type=str, default="SFRon")
+    p.add_argument("--input_size", nargs=3, type=int, default=None,
+                   help="accepted for reference parity; shapes derive from "
+                        "the dataset here")
+    p.add_argument("--record_result", action="store_true", default=True,
+                   help="append the summary CSV (reference flag; default on)")
+    p.add_argument("--unlearn_method", "--unlearn", type=str,
+                   default="SFRon")
     p.add_argument("--forget_mode", type=str, default="random",
                    choices=["random", "class"],
                    help="random subset (RandomUnlearn) or full class "
                         "(FullClassUnlearn) split")
     p.add_argument("--label_to_forget", type=int, default=0)
-    p.add_argument("--forget_ratio", type=float, default=0.1)
+    p.add_argument("--forget_ratio", "--forget_perc", type=float,
+                   default=0.1)
     p.add_argument("--incremental", type=int, default=0,
                    help="N>0: incremental unlearning over N cumulative "
                         "stages (IncrementalRandomUnlearn parity)")
@@ -36,7 +45,7 @@ def parse_args():
                    help="pretrained model checkpoint (orbax dir)")
     p.add_argument("--retrain_checkpoint", type=str, default="",
                    help="retrained reference for JS/KL divergence")
-    p.add_argument("--batch_size", type=int, default=256)
+    p.add_argument("--batch_size", "-b", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str, default="results/classification")
     return p.parse_args()

@@ -30,9 +30,20 @@ def parse_args():
                    help="class excluded from sample_fid (-1 = none)")
     p.add_argument("--cond_scale", type=float, default=2.0)
     p.add_argument("--n_samples_per_class", type=int, default=500)
-    p.add_argument("--sample_steps", type=int, default=50)
+    p.add_argument("--classes_to_generate", type=str, default="",
+                   help="reference class-list syntax, e.g. '1,2' or 'x0' "
+                        "(exclude class 0) — DDPM/sample.py parity")
+    p.add_argument("--sample_steps", "--timesteps", type=int, default=50)
     p.add_argument("--sampler", type=str, default="ddim",
                    choices=["ddim", "ddpm"])
+    p.add_argument("--sample_type", type=str, default="",
+                   choices=["", "generalized", "ddpm_noisy"],
+                   help="reference name for --sampler (generalized=ddim)")
+    p.add_argument("--skip_type", type=str, default="uniform",
+                   choices=["uniform", "quad"])
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--sequence", action="store_true",
+                   help="accepted for reference parity")
     p.add_argument("--use_ema", action="store_true", default=True)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--out", type=str, default="")
@@ -54,6 +65,9 @@ def main():
     params = R.load_params(args, config, wl, use_ema=args.use_ema)
     out = args.out or os.path.join(args.ckpt_folder, "samples", args.mode)
 
+    if args.sample_type:
+        args.sampler = "ddpm" if args.sample_type == "ddpm_noisy" else "ddim"
+
     n_classes = config.data.n_classes
     if args.mode == "sample_one_class":
         # forget-class sample folder for the classifier UA/entropy probe
@@ -65,7 +79,14 @@ def main():
             method=args.sampler, cond_scale=args.cond_scale, seed=args.seed)
         save_png_folder(imgs, labels, out)
     elif args.mode == "sample_fid":
-        classes = [c for c in range(n_classes) if c != args.label_to_forget]
+        if args.classes_to_generate:
+            from uurg_tpu.data.splits import create_class_labels
+
+            classes, _ = create_class_labels(args.classes_to_generate,
+                                             n_classes)
+        else:
+            classes = [c for c in range(n_classes)
+                       if c != args.label_to_forget]
         # multi-host: shard classes*samples by process (sample_ddp.py analog)
         import jax
         pid, pcount = jax.process_index(), jax.process_count()

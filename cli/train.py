@@ -40,6 +40,21 @@ def parse_args():
     p.add_argument("--unlearn_loss", type=str, default="adaga",
                    choices=["adaga", "ga", "rl"])
     p.add_argument("--mask_path", type=str, default="")
+    # sampling knobs used by the snapshot grids (DDPM/train.py parity)
+    p.add_argument("--sample_type", type=str, default="generalized",
+                   choices=["generalized", "ddpm_noisy"],
+                   help="generalized = DDIM, ddpm_noisy = ancestral")
+    p.add_argument("--skip_type", type=str, default="uniform",
+                   choices=["uniform", "quad"])
+    p.add_argument("--timesteps", type=int, default=50,
+                   help="sampling steps for snapshot grids")
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--verbose", type=str, default="info")
+    # reference flags accepted for command-line parity (semantics live in
+    # the respective modes/configs)
+    p.add_argument("--uc", type=bool, default=True)
+    p.add_argument("--negative_guidance", type=float, default=1.0)
+    p.add_argument("--sparse", type=bool, default=False)
     # mask generation
     p.add_argument("--threshold", type=float, nargs="+", default=[1.0])
     p.add_argument("--mask_ratio", type=float, nargs="+", default=[0.5])
@@ -83,9 +98,11 @@ def main():
         labels = np.tile(np.arange(n_classes), max(1, n_vis // n_classes))
         params = state.ema_params if state.ema_params is not None \
             else state.params
-        steps = min(50, config.diffusion.num_diffusion_timesteps)
+        steps = min(args.timesteps, config.diffusion.num_diffusion_timesteps)
+        method = "ddpm" if args.sample_type == "ddpm_noisy" else "ddim"
         imgs = R.sample_images(args, config, params, labels,
-                               num_steps=steps, cond_scale=args.cond_scale,
+                               num_steps=steps, method=method,
+                               cond_scale=args.cond_scale,
                                batch_size=len(labels), seed=args.seed)
         save_grid(imgs, os.path.join(config.log_dir,
                                      f"samples_step{step_idx:05d}.png"),

@@ -1,0 +1,88 @@
+"""Reference command-line parity: the published flag spellings parse.
+
+These tests exercise only the argparse surface (no model/device work), so
+reference README command lines keep working verbatim.
+"""
+import importlib.util
+import os
+import sys
+
+import pytest
+
+CLI = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "cli")
+
+
+def _load(name):
+    spec = importlib.util.spec_from_file_location(
+        f"cli_{name}", os.path.join(CLI, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _parse(mod, argv, monkeypatch):
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    return mod.parse_args()
+
+
+def test_main_random_reference_spelling(monkeypatch):
+    m = _load("main_random")
+    a = _parse(m, ["--dataset", "CIFAR10", "--model", "ResNet18",
+                   "--num_classes", "10", "-b", "128",
+                   "--input_size", "3", "32", "32",
+                   "--unlearn", "SFRon", "--forget_perc", "0.1",
+                   "--checkpoint", "x", "--retrain_checkpoint", "y",
+                   "--record_result", "--seed", "0",
+                   "--data_dir", "./data"], monkeypatch)
+    assert a.unlearn_method == "SFRon"
+    assert a.forget_ratio == 0.1
+    assert a.batch_size == 128
+    assert a.data_path == "./data"
+
+
+def test_main_pretrain_reference_spelling(monkeypatch):
+    m = _load("main_pretrain")
+    a = _parse(m, ["--data_dir", "./d", "-d", "CIFAR100", "-b", "64",
+                   "--sched", "cosine", "--input_size", "3", "32", "32"],
+               monkeypatch)
+    assert a.dataset == "CIFAR100" and a.batch_size == 64
+
+
+def test_ddpm_train_reference_flags(monkeypatch):
+    m = _load("train")
+    a = _parse(m, ["--config", "c.yml", "--mode", "sfron",
+                   "--sample_type", "ddpm_noisy", "--skip_type", "quad",
+                   "--timesteps", "100", "--eta", "0.5",
+                   "--forget_alpha", "10.0", "--decay_forget_alpha"],
+               monkeypatch)
+    assert a.timesteps == 100 and a.sample_type == "ddpm_noisy"
+
+
+def test_ddpm_sample_reference_flags(monkeypatch):
+    m = _load("sample")
+    a = _parse(m, ["--config", "c.yml", "--ckpt_folder", "x",
+                   "--mode", "sample_fid", "--classes_to_generate", "x0",
+                   "--timesteps", "20", "--sample_type", "generalized",
+                   "--sequence"], monkeypatch)
+    assert a.sample_steps == 20
+    assert a.classes_to_generate == "x0"
+
+
+def test_dit_forget_reference_flags(monkeypatch):
+    m = _load("forget")
+    a = _parse(m, ["--forget-class", "3", "--batch-size", "16",
+                   "--decay-forget-alpha", "--grad-clip", "2.0",
+                   "--snapshot-every", "100", "--vae", "ema",
+                   "--num-workers", "4"], monkeypatch)
+    assert a.label_to_forget == 3
+    assert a.global_batch_size == 16
+    assert a.decay_forget_alpha and a.grad_clip == 2.0
+
+
+def test_class_label_syntax():
+    from uurg_tpu.data.splits import create_class_labels
+
+    assert create_class_labels("x0", 10) == (list(range(1, 10)), [0])
+    assert create_class_labels("1,4,5", 10) == ([1, 4, 5], [])
+    assert create_class_labels("x0,x9", 10)[0] == list(range(1, 9))

@@ -57,3 +57,19 @@ def test_dit_sample_fid_latents(wl):
         wl, params, np.asarray([1, 2, 3]), respacing="3", batch_size=2,
         cond_scale=1.5)
     assert out.shape == (3, 8, 8, 4)
+
+
+def test_dit_sample_grid_writes_npz(tmp_path):
+    import jax
+
+    from uurg_tpu.workloads.dit import DiTWorkload
+    from uurg_tpu.workloads.dit_runner import dit_sample_grid
+
+    wl = DiTWorkload.build("DiT-S/2", 32, 4)
+    params = wl.init_params(jax.random.key(0))
+    out = dit_sample_grid(wl, params, str(tmp_path / "vis.npz"),
+                          n_per_class=1, classes=[0, 1], respacing="4",
+                          seed=0)
+    d = np.load(out)
+    assert d["latents"].shape[0] == 2
+    assert list(d["labels"]) == [0, 1]

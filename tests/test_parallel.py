@@ -155,3 +155,51 @@ def test_fsdp_sharded_apply_matches_replicated():
     )(params_s, xs)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dit_sfron_step_sharded_equivalence():
+    """DiT-S SFR-on step under a (data, model) mesh matches single-device
+    execution (extends the UNet equivalence to the DiT workload; parity
+    intent: DiT/forget.py DataParallel + sample_ddp.py NCCL)."""
+    from jax.sharding import NamedSharding
+
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+    from uurg_tpu.workloads.dit import DiTWorkload
+
+    wl = DiTWorkload.build("DiT-S/2", 32, 4, dtype=jnp.float32)
+    params = wl.init_params(jax.random.key(0))
+    opt = make_optimizer("adamw", 1e-3)
+    cfg = SFRonConfig(n_iters=2, forget_alpha=1e-2, remain_alpha=1.0,
+                      alpha_sched="const", forget_clip=1.0,
+                      remain_clip=None, ema_mu=0.999)
+    step = make_sfron_step(cfg, opt, wl.forget_loss_fn("ga", 0),
+                           wl.train_loss_fn(), donate=False)
+
+    kx = jax.random.key(1)
+    fb = (jax.random.normal(kx, (8, 4, 4, 4)), jnp.zeros((8,), jnp.int32))
+    rb = (jax.random.normal(jax.random.fold_in(kx, 1), (8, 4, 4, 4)),
+          jnp.ones((8,), jnp.int32))
+
+    # single device
+    s1 = init_state(params, opt, ema=True)
+    s1, m1 = step(s1, fb, rb, jax.random.key(2))
+
+    # (data=4, model=2) mesh: batch data-sharded, params FSDP-sharded
+    mesh = make_mesh({"data": 4, "model": 2})
+    s2 = init_state(params, opt, ema=True)
+    s2 = jax.device_put(s2, NamedSharding(mesh, P()))
+    s2.params = shard_params_fsdp(s2.params, mesh, min_size=64)
+    s2.ema_params = shard_params_fsdp(s2.ema_params, mesh, min_size=64)
+    fb2 = shard_batch(fb, mesh)
+    rb2 = shard_batch(rb, mesh)
+    s2, m2 = step(s2, fb2, rb2, jax.random.key(2))
+
+    np.testing.assert_allclose(float(m1["remain_loss"]),
+                               float(m2["remain_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

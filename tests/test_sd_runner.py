@@ -159,3 +159,18 @@ def test_train_esd_with_builder_loss_decreases(wl, unet_params):
         loss_sink=lambda i, l: losses.append(float(l)))
     assert len(losses) == 10 and all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_sampler_does_not_capture_text_encoder(wl, unet_params):
+    """make_sampler must evaluate the empty-prompt context EAGERLY: closing
+    the frozen CLIP apply into the jitted sampler bakes its params into the
+    HLO as constants (real-TPU failure: compile-relay HTTP 413)."""
+    sampler = wl.make_sampler(num_steps=2, guidance_scale=2.0, latent_size=8)
+    saved = wl.text_params
+    try:
+        wl.text_params = None  # sampling must no longer touch the encoder
+        ctx = jax.random.normal(jax.random.key(0), (1, 8, 16))
+        z = sampler(unet_params, ctx, jax.random.key(1))
+        assert np.all(np.isfinite(np.asarray(z)))
+    finally:
+        wl.text_params = saved

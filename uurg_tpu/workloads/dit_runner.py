@@ -46,19 +46,31 @@ def dit_forget(
     label_to_forget: int = 0,
     mask=None,
     ema_decay: float = 0.9999,
+    decay_forget_alpha: bool = False,
+    grad_clip: float | None = 1.0,
     seed: int = 0,
     log_freq: int = 100,
     ckpt_dir: str | None = None,
     ckpt_freq: int = 10000,
+    sample_hook: Callable | None = None,
+    snapshot_freq: int = 500,
 ):
     """SFR-on for DiT (DiT/forget.py:256-345): masked ascent + remain descent
     + update_ema, one jit. ``ema_decay`` follows DiT's update_ema (shadow =
-    decay*shadow + (1-decay)*param -> our ema_mu = decay)."""
+    decay*shadow + (1-decay)*param -> our ema_mu = decay); forget-step grads
+    are clipped at ``grad_clip`` (forget.py:294, default 1.0) and
+    ``forget_alpha`` cosine-decays only when ``decay_forget_alpha``
+    (--decay-forget-alpha, default off like the reference).
+    ``sample_hook(state, step)`` fires every ``snapshot_freq`` steps
+    (forget.py:344-345 sample grids)."""
     opt = make_optimizer("adamw", lr, weight_decay=0.0)
     cfg = SFRonConfig(
         n_iters=n_iters, forget_alpha=forget_alpha,
-        remain_alpha=remain_alpha, alpha_sched="cosine", forget_freq=1,
-        forget_clip=None, remain_clip=None, method=method, ema_mu=ema_decay,
+        remain_alpha=remain_alpha,
+        alpha_sched="cosine" if decay_forget_alpha else "const",
+        forget_freq=1,
+        forget_clip=grad_clip, remain_clip=None, method=method,
+        ema_mu=ema_decay,
     )
     step = make_sfron_step(cfg, opt,
                            wl.forget_loss_fn(unlearn_loss, label_to_forget),
@@ -76,6 +88,8 @@ def dit_forget(
                      float(metrics["remain_loss"]),
                      log_freq / (time.time() - start))
             start = time.time()
+        if sample_hook is not None and (i + 1) % snapshot_freq == 0:
+            sample_hook(state, i)
         if ckpt_dir and (i + 1) % ckpt_freq == 0:
             save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{i:07d}"),
                             {"model": state.params, "ema": state.ema_params})
@@ -118,6 +132,27 @@ def dit_generate_mask(fisher_dir: str, thresholds, params_like=None):
         save_checkpoint(os.path.join(fisher_dir, f"fisher_{th}"), mask)
         out[float(th)] = mask
     return out
+
+
+def dit_sample_grid(wl: DiTWorkload, params, out_path: str, *,
+                    n_per_class: int = 2, classes=None,
+                    respacing: str = "50", cond_scale: float = 4.0,
+                    seed: int = 0, decode_fn: Callable | None = None):
+    """Small CFG sample sheet during forgetting (DiT/forget.py:344-345
+    sample_visualization). Saves decoded uint8 images (when a VAE decode is
+    supplied) or raw latents as npz."""
+    classes = list(classes if classes is not None else range(8))
+    labels = np.repeat(classes, n_per_class)
+    sampler = jax.jit(wl.make_sampler(respacing=respacing,
+                                      cond_scale=cond_scale))
+    lat = sampler(params, jnp.asarray(labels), jax.random.key(seed))
+    if decode_fn is not None:
+        img = np.clip((np.asarray(decode_fn(lat)) + 1) / 2, 0, 1)
+        np.savez(out_path, images=(img * 255).astype(np.uint8),
+                 labels=labels)
+    else:
+        np.savez(out_path, latents=np.asarray(lat), labels=labels)
+    return out_path
 
 
 def dit_sample_fid(

@@ -163,12 +163,16 @@ class SDWorkload:
         # alpha is off by one step vs the reference pipeline
         seq = S.make_step_sequence(self.schedule.num_timesteps, num_steps,
                                    offset=1)
+        # the empty-prompt context is computed EAGERLY here: calling the
+        # frozen text encoder inside the jitted sampler would bake its
+        # ~123M params into the HLO as constants (the compile-relay 413
+        # failure mode); a (1, 77, d) array constant is harmless
+        uncond_1 = jnp.asarray(self.get_learned_conditioning([""]))
 
         def sample(params, context, key):
             n = context.shape[0]
             k_init, k_s = jax.random.split(key)
-            ctx_uncond = jnp.broadcast_to(
-                self.get_learned_conditioning([""]), context.shape)
+            ctx_uncond = jnp.broadcast_to(uncond_1, context.shape)
 
             def model_fn(x, t):
                 x2 = jnp.concatenate([x, x])
