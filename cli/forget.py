@@ -60,10 +60,10 @@ def main():
     from uurg_tpu.utils.rng import configure_rng
 
     configure_rng("auto")
-    from uurg_tpu.data import class_forget_split, load_image_folder, synthetic_dataset
+    from uurg_tpu.data import class_forget_split, synthetic_dataset
     from uurg_tpu.data.arrays import infinite_batches
     from uurg_tpu.io.checkpoint import restore_checkpoint
-    from uurg_tpu.workloads.dit import VAE_SCALE, DiTWorkload
+    from uurg_tpu.workloads.dit import DiTWorkload
     from uurg_tpu.workloads.dit_runner import dit_forget
 
     wl = DiTWorkload.build(args.model, args.image_size, args.num_classes)

@@ -55,7 +55,6 @@ def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
     import jax
-    import jax.numpy as jnp
 
     from uurg_tpu.data import (dataset_registry, random_forget_split,
                                synthetic_dataset, epoch_batches)

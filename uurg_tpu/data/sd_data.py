@@ -85,8 +85,6 @@ def setup_forget_nsfw_data(batch_size, image_size, nsfw_root="data/nsfw",
     (dataset.py:167-176). Flat folders get a single pseudo-class."""
 
     def flat(root):
-        from PIL import Image  # noqa: F401 (decoded lazily per batch)
-
         entries = [os.path.join(root, f) for f in sorted(os.listdir(root))
                    if f.lower().endswith((".png", ".jpg", ".jpeg", ".webp"))]
         if not entries:

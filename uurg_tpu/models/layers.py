@@ -35,11 +35,30 @@ def swish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(x)
 
 
+class _FusedGN(nn.Module):
+    """Param-holding shim around ops.group_norm — named ``GroupNorm_0`` by
+    the parent so the parameter tree is byte-identical to the previous
+    flax nn.GroupNorm child (checkpoints/interop key maps unchanged)."""
+
+    groups: int
+    epsilon: float
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from uurg_tpu.ops.group_norm import group_norm
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, groups=self.groups,
+                          eps=self.epsilon)
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32, eps=1e-6); statistics in float32, output in the input
-    dtype. Flax always reduces in >= fp32 (normalization._compute_stats), so
-    no explicit activation upcast is materialized — that would double HBM
-    traffic on every norm of a bandwidth-bound step."""
+    dtype. On TPU the one-pass Pallas kernel (ops/group_norm.py) runs when
+    the channel count is lane-aligned; elsewhere the reference XLA
+    formulation (flax-equivalent) applies."""
 
     num_groups: int = 32
     epsilon: float = 1e-6
@@ -50,11 +69,7 @@ class GroupNorm32(nn.Module):
         groups = self.num_groups
         while channels % groups != 0:  # tiny test configs (<32 channels)
             groups //= 2
-        return nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            param_dtype=jnp.float32,
-        )(x)
+        return _FusedGN(groups, self.epsilon, name="GroupNorm_0")(x)
 
 
 class SelfAttention2D(nn.Module):
