@@ -73,3 +73,33 @@ def test_dit_sample_grid_writes_npz(tmp_path):
     d = np.load(out)
     assert d["latents"].shape[0] == 2
     assert list(d["labels"]) == [0, 1]
+
+
+def test_dit_forget_auto_resume(tmp_path):
+    """dit_forget resumes from a saved train_state (parity-plus: the
+    reference DiT loop is save-only)."""
+    import itertools
+
+    import jax
+    import jax.numpy as jnp
+
+    from uurg_tpu.workloads.dit import DiTWorkload
+    from uurg_tpu.workloads.dit_runner import dit_forget
+
+    wl = DiTWorkload.build("DiT-S/2", 32, 4, dtype=jnp.float32)
+    params = wl.init_params(jax.random.key(0))
+    z = jax.random.normal(jax.random.key(1), (4, 4, 4, 4))
+    fb = itertools.repeat((z, jnp.zeros((4,), jnp.int32)))
+    rb = itertools.repeat((z, jnp.ones((4,), jnp.int32)))
+
+    ck = str(tmp_path / "ck")
+    # run 2 steps, train_state saved at ckpt_freq=2
+    s1 = dit_forget(wl, params, fb, rb, n_iters=2, lr=1e-4,
+                    forget_alpha=1e-2, unlearn_loss="ga",
+                    label_to_forget=0, seed=0, ckpt_dir=ck, ckpt_freq=2)
+    assert int(s1.step) == 2
+    # a fresh call with n_iters=4 must resume at step 2, not restart
+    s2 = dit_forget(wl, params, fb, rb, n_iters=4, lr=1e-4,
+                    forget_alpha=1e-2, unlearn_loss="ga",
+                    label_to_forget=0, seed=0, ckpt_dir=ck, ckpt_freq=100)
+    assert int(s2.step) == 4

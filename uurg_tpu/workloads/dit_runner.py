@@ -76,9 +76,27 @@ def dit_forget(
                            wl.forget_loss_fn(unlearn_loss, label_to_forget),
                            wl.train_loss_fn())
     state = init_state(params, opt, ema=True, mask=mask)
+    start_step = 0
+    if ckpt_dir:
+        # auto-resume from the full train state if one exists (the
+        # reference is save-only; resume matches ddpm_runner._try_resume)
+        resume_path = os.path.join(ckpt_dir, "train_state")
+        if os.path.exists(resume_path):
+            import dataclasses as _dc
+
+            target = {"step": state.step, "params": state.params,
+                      "opt_state": state.opt_state,
+                      "ema_params": state.ema_params}
+            ck = restore_checkpoint(resume_path, target)
+            state = _dc.replace(state, step=jnp.asarray(ck["step"]),
+                                params=ck["params"],
+                                opt_state=ck["opt_state"],
+                                ema_params=ck["ema_params"])
+            start_step = int(ck["step"])
+            log.info("resumed from %s at step %d", resume_path, start_step)
     key = jax.random.key(seed)
     start = time.time()
-    for i in range(n_iters):
+    for i in range(start_step, n_iters):
         state, metrics = step(state, next(forget_batches),
                               next(remain_batches), key)
         if (i + 1) % log_freq == 0:
@@ -93,6 +111,10 @@ def dit_forget(
         if ckpt_dir and (i + 1) % ckpt_freq == 0:
             save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{i:07d}"),
                             {"model": state.params, "ema": state.ema_params})
+            save_checkpoint(os.path.join(ckpt_dir, "train_state"),
+                            {"step": state.step, "params": state.params,
+                             "opt_state": state.opt_state,
+                             "ema_params": state.ema_params})
     if ckpt_dir:
         save_checkpoint(os.path.join(ckpt_dir, "final"),
                         {"model": state.params, "ema": state.ema_params})
