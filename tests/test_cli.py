@@ -16,7 +16,8 @@ SCRIPTS = [
     "main_pretrain.py", "main_random.py", "forget.py", "nsfw_removal.py",
     "train_esd.py", "random_label.py", "gradient_ascent.py",
     "proximal_gradient.py", "sd_generate_fisher.py", "generate_images.py",
-    "convert_inception.py", "export_torch.py",
+    "convert_inception.py", "export_torch.py", "compute_fid.py",
+    "imageclassify.py", "encode_latents.py", "dit_sample.py",
 ]
 
 

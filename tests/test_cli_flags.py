@@ -86,3 +86,36 @@ def test_class_label_syntax():
     assert create_class_labels("x0", 10) == (list(range(1, 10)), [0])
     assert create_class_labels("1,4,5", 10) == ([1, 4, 5], [])
     assert create_class_labels("x0,x9", 10)[0] == list(range(1, 9))
+
+
+@pytest.mark.slow
+def test_compute_fid_cli_end_to_end(tmp_path):
+    """SD compute-fid parity CLI over tiny local folders (random-init
+    inception; validates the protocol plumbing)."""
+    import subprocess
+
+    import numpy as np
+    from PIL import Image
+
+    real = tmp_path / "real"
+    fake = tmp_path / "fake"
+    for ci in range(2):
+        d = real / f"c{ci}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                np.full((16, 16, 3), 50 * ci + i, np.uint8)).save(
+                d / f"{i}.png")
+    fake.mkdir()
+    for i in range(4):
+        Image.fromarray(np.full((16, 16, 3), 90 + i, np.uint8)).save(
+            fake / f"{i}.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(CLI, "compute_fid.py"),
+         "--folder_path", str(fake), "--real_path", str(real),
+         "--class_to_forget", "0", "--image_size", "16",
+         "--batch_size", "4"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert "FID:" in out.stdout
