@@ -98,3 +98,20 @@ def test_data_transform_roundtrip():
     assert float(z.min()) >= -1.0 and float(z.max()) <= 1.0
     back = inverse_data_transform(cfg, z)
     np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_infinite_batches_dataset_smaller_than_batch():
+    """Regression: a forget split smaller than the batch size must still
+    yield (wrap-around); the stream previously spun forever (found as a
+    silent hang of the classification CLI on TPU)."""
+    from uurg_tpu.data.arrays import ArrayDataset, infinite_batches
+
+    ds = ArrayDataset(np.arange(5 * 4 * 4 * 3, dtype=np.uint8)
+                      .reshape(5, 4, 4, 3) % 255,
+                      np.arange(5, dtype=np.int64))
+    it = infinite_batches(ds, 8, seed=0)
+    x, y = next(it)
+    assert x.shape == (8, 4, 4, 3) and y.shape == (8,)
+    assert set(np.unique(y)) == {0, 1, 2, 3, 4}  # every sample present
+    x2, y2 = next(it)
+    assert x2.shape == (8, 4, 4, 3)

@@ -77,3 +77,31 @@ def tree_add(a: PyTree, b: PyTree) -> PyTree:
 
 def tree_scale(tree: PyTree, s) -> PyTree:
     return jax.tree_util.tree_map(lambda l: l * s, tree)
+
+
+def tree_to_host(tree: PyTree) -> PyTree:
+    """Pull a pytree to host numpy with ONE device-to-host transfer.
+
+    ``jax.device_get`` issues a round-trip per leaf; through this
+    environment's remote-TPU tunnel the first transfers cost seconds EACH
+    (measured: 40 tiny BatchNorm stats = 152 s, while one 11M-param
+    transfer right after = 0.8 s). Concatenating on device and splitting on
+    host makes it a single round-trip. Also the reason device arrays must
+    never be closed into jits as constants: lowering embeds them via the
+    same per-leaf reads.
+    """
+    import numpy as np
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    if not leaves:
+        return tree
+    shapes = [l.shape for l in leaves]
+    dtypes = [l.dtype for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    flat = jnp.concatenate(
+        [jnp.ravel(l).astype(jnp.float32) for l in leaves])
+    host = np.asarray(flat)  # the single transfer
+    parts = np.split(host, np.cumsum(sizes)[:-1])
+    rebuilt = [p.reshape(s).astype(d)
+               for p, s, d in zip(parts, shapes, dtypes)]
+    return jax.tree_util.tree_unflatten(treedef, rebuilt)

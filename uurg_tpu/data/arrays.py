@@ -172,6 +172,18 @@ def infinite_batches(
     n = len(ds)
     while True:
         perm = rng.permutation(n)
+        if n < batch_size:
+            # dataset smaller than a batch (e.g. a 10% forget split under a
+            # large batch size): wrap the permutation so the batch shape
+            # stays jit-static and every sample appears at least once.
+            # (Without this the ranged loop below is EMPTY and the stream
+            # never yields — a silent infinite spin.)
+            take = np.resize(perm, batch_size)[process_index::process_count]
+            x, y = ds.get_batch(take)
+            if transform is not None:
+                x = transform(x, rng)
+            yield x, y
+            continue
         for start in range(0, n - batch_size + 1, batch_size):
             take = perm[start : start + batch_size]
             take = take[process_index::process_count]

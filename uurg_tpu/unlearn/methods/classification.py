@@ -382,9 +382,17 @@ def sfron(ctx: UnlearnContext, key=None):
     n_iters = ctx.hp("n_iters", 1500)
     lambd = ctx.hp("lambd", 0.5)
 
-    # Fisher-ratio saliency mask (eval-mode grads, CE loss)
+    # Fisher-ratio saliency mask (eval-mode grads, CE loss).
+    # batch_stats is pulled to HOST (one batched transfer) before being
+    # closed into the jit: device-resident closure constants are embedded
+    # during lowering via per-leaf device->host reads, and each such read
+    # costs SECONDS through the remote-TPU tunnel (tr.tree_to_host
+    # docstring has the measurements) — the fisher compile stalled for
+    # tens of minutes on the real chip before this.
+    bs_host = tr.tree_to_host(ctx.batch_stats)
+
     def fisher_loss(p, batch, rng):
-        logits = cls.eval_apply(p, ctx.batch_stats, batch[0])
+        logits = cls.eval_apply(p, bs_host, batch[0])
         return cross_entropy(logits, batch[1])
 
     use_mask = ctx.hp("mask", True)
@@ -431,10 +439,20 @@ def sfron(ctx: UnlearnContext, key=None):
     r_it = infinite_batches(ctx.retain_train, ctx.batch_size,
                             seed=ctx.seed + 1, transform=ctx.transform)
     base_key = jax.random.key(ctx.seed)
-    for _ in range(n_iters):
+    import logging as _logging
+    import time as _time
+
+    _log = _logging.getLogger("uurg.cls")
+    start = _time.time()
+    for i in range(n_iters):
         fx, fy = next(f_it)
         rx, ry = next(r_it)
         state, metrics = step(
             state, (jnp.asarray(fx), jnp.asarray(fy)),
             (jnp.asarray(rx), jnp.asarray(ry)), base_key)
+        if (i + 1) % 250 == 0 or i == 0:
+            jax.block_until_ready(state.params)
+            _log.info("sfron iter %d/%d remain L %.4f (%.1f it/s)", i + 1,
+                      n_iters, float(metrics["remain_loss"]),
+                      (i + 1) / (_time.time() - start))
     return state.params, state.model_state
