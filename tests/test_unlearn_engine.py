@@ -300,3 +300,57 @@ def test_forget_alpha_zero_is_single_optimizer_update():
               if np.asarray(x).dtype == np.int32 and np.asarray(x).ndim == 0]
     assert all(c == 1 for c in counts), counts
     assert float(metrics["forget_loss"]) == 0.0
+
+
+def test_scan_chunk_matches_per_step():
+    """make_sfron_scan must reproduce the per-step path EXACTLY (same
+    state.step-folded RNG stream) — the chunked dispatch is an execution
+    detail, not a semantic change."""
+    import numpy as np
+
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state, make_sfron_scan
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+
+    def rloss(p, batch, rng):
+        x, y = batch
+        return jnp.mean((x @ p["w"] + p["b"] - y) ** 2)
+
+    floss = lambda p, b, k: -rloss(p, b, k)
+    cfg = SFRonConfig(n_iters=8, forget_alpha=0.5, alpha_sched="cosine",
+                      forget_freq=2, forget_clip=1.0, remain_clip=1.0,
+                      ema_mu=0.99)
+    opt = make_optimizer("adam", 1e-2)
+
+    kx = jax.random.key(0)
+    fb = [(jax.random.normal(jax.random.fold_in(kx, i), (6, 4)),
+           jnp.ones((6, 4))) for i in range(8)]
+    rb = [(jax.random.normal(jax.random.fold_in(kx, 100 + i), (6, 4)),
+           -jnp.ones((6, 4))) for i in range(8)]
+
+    step = make_sfron_step(cfg, opt, floss, rloss, donate=False)
+    s1 = init_state(params, opt, ema=True)
+    rng = jax.random.key(7)
+    for i in range(8):
+        s1, _ = step(s1, fb[i], rb[i], rng)
+
+    run = make_sfron_scan(cfg, opt, floss, rloss, chunk=4)
+    s2 = init_state(params, opt, ema=True)
+    for c in range(2):
+        f_chunk = (jnp.stack([fb[c * 4 + i][0] for i in range(4)]),
+                   jnp.stack([fb[c * 4 + i][1] for i in range(4)]))
+        r_chunk = (jnp.stack([rb[c * 4 + i][0] for i in range(4)]),
+                   jnp.stack([rb[c * 4 + i][1] for i in range(4)]))
+        s2, _ = run(s2, f_chunk, r_chunk, rng)
+
+    assert int(s1.step) == int(s2.step) == 8
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.ema_params),
+                    jax.tree_util.tree_leaves(s2.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)

@@ -54,6 +54,35 @@ class UnlearnContext:
         return self.overrides.get(name, default)
 
 
+def _device_batcher(batch_size: int, augment: bool = True):
+    """In-jit batch drawing over a DEVICE-resident (images, labels) pair:
+    uniform index sampling, uint8->float conversion, and the reference's
+    train augmentation (random flip + 4px pad-crop) as jax ops. Replaces
+    per-batch host->device transfers entirely for datasets that fit HBM."""
+
+    def draw(data, key):
+        images, labels = data
+        n = images.shape[0]
+        k_idx, k_flip, k_cy, k_cx = jax.random.split(key, 4)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, n)
+        x = images[idx].astype(jnp.float32)
+        if images.dtype == jnp.uint8:
+            x = x / 255.0
+        if augment:
+            flip = jax.random.bernoulli(k_flip, 0.5, (batch_size,))
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+            pad = 4
+            h, w, c = x.shape[1:]
+            xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+            oy = jax.random.randint(k_cy, (batch_size,), 0, 2 * pad + 1)
+            ox = jax.random.randint(k_cx, (batch_size,), 0, 2 * pad + 1)
+            x = jax.vmap(lambda img, a, b: jax.lax.dynamic_slice(
+                img, (a, b, 0), (h, w, c)))(xp, oy, ox)
+        return x, labels[idx]
+
+    return draw
+
+
 def _epochs_to_steps(ds_len: int, batch_size: int, epochs: int) -> int:
     # ceil: cover the reference DataLoader's final partial batch per epoch
     return max(1, -(-ds_len // batch_size)) * epochs
@@ -424,14 +453,12 @@ def sfron(ctx: UnlearnContext, key=None):
         remain_clip=None,
         fast_slow_beta=ctx.hp("ema_beta", 1.0),
     )
-    step = make_sfron_step(
-        cfg, opt,
+    loss_pair = (
         cls.neg_adaptive_ce_loss_fn(lambd) if ctx.hp("unlearn_loss", "adaga")
         == "adaga" else cls.neg_ce_loss_fn(),
         cls.ce_loss_fn(),
-        lr_schedule=cosine_annealing(ctx.hp("retain_lr", 0.01), n_iters),
-        has_model_state=True,
     )
+    sched = cosine_annealing(ctx.hp("retain_lr", 0.01), n_iters)
     state = init_state(ctx.params, opt, model_state=ctx.batch_stats,
                        mask=mask)
     f_it = infinite_batches(ctx.forget_train, ctx.batch_size, seed=ctx.seed,
@@ -444,6 +471,44 @@ def sfron(ctx: UnlearnContext, key=None):
 
     _log = _logging.getLogger("uurg.cls")
     start = _time.time()
+
+    # Device-resident fast path: CIFAR-scale splits fit HBM trivially
+    # (50k x 32x32x3 uint8 = 150MB), so the WHOLE forget/remain arrays are
+    # uploaded ONCE and every batch is drawn, converted and augmented
+    # IN-JIT, with scan_chunk steps per dispatch. This removes the
+    # per-batch host->device transfers that otherwise bound the loop at
+    # ~3-7 it/s through a high-latency link (device step rate: 633 it/s).
+    # Augmentation (flip + pad-crop) runs on device; its random stream
+    # therefore differs from the host transform (stochasticity, not
+    # semantics). Disable with overrides={'device_data': False}.
+    chunk = ctx.hp("scan_chunk", 50)
+    while chunk > 1 and n_iters % chunk:
+        chunk -= 1
+    if chunk > 1 and ctx.hp("device_data", True):
+        from uurg_tpu.unlearn.sfron import make_sfron_scan
+
+        run = make_sfron_scan(cfg, opt, *loss_pair, chunk,
+                              lr_schedule=sched, has_model_state=True,
+                              device_batcher=_device_batcher(
+                                  ctx.batch_size, augment=ctx.transform
+                                  is not None))
+        f_data = (jnp.asarray(ctx.forget_train.images),
+                  jnp.asarray(ctx.forget_train.labels.astype(np.int32)))
+        r_data = (jnp.asarray(ctx.retain_train.images),
+                  jnp.asarray(ctx.retain_train.labels.astype(np.int32)))
+        for outer in range(n_iters // chunk):
+            state, metrics = run(state, f_data, r_data, base_key)
+            done = (outer + 1) * chunk
+            if done % 250 < chunk:
+                jax.block_until_ready(state.params)
+                _log.info("sfron iter %d/%d remain L %.4f (%.1f it/s)",
+                          done, n_iters,
+                          float(metrics["remain_loss"][-1]),
+                          done / (_time.time() - start))
+        return state.params, state.model_state
+
+    step = make_sfron_step(cfg, opt, *loss_pair, lr_schedule=sched,
+                           has_model_state=True)
     for i in range(n_iters):
         fx, fy = next(f_it)
         rx, ry = next(r_it)

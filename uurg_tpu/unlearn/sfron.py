@@ -23,6 +23,7 @@ combines both losses into one masked update per step.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Optional
 
 import jax
@@ -112,6 +113,7 @@ def make_sfron_step(
     lr_schedule: Callable | None = None,
     donate: bool = True,
     has_model_state: bool = False,
+    jit: bool = True,
 ):
     """Build the jitted two-phase step.
 
@@ -254,4 +256,56 @@ def make_sfron_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if not jit:
+        return step_fn
     return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def make_sfron_scan(cfg, optimizer, forget_loss_fn, remain_loss_fn,
+                    chunk: int, device_batcher=None, **kwargs):
+    """Chunked SFR-on: run ``chunk`` two-phase steps per dispatch as one
+    ``lax.scan``.
+
+    Why: a host loop pays a host-to-device transfer per batch; through a
+    high-latency, low-bandwidth link (remote-TPU tunnel, DCN-fed pods)
+    that bounds throughput far below the device step rate (measured 3-7
+    it/s vs 633 it/s device-only on the classification workload).
+
+    Two modes:
+    - ``device_batcher=None``: consume pre-stacked batch chunks of shape
+      ``(chunk, batch, ...)`` — ``run(state, f_chunk, r_chunk, rng)``.
+      The per-step RNG folds in ``state.step`` exactly like the per-step
+      path, so the stream is IDENTICAL to ``make_sfron_step`` repeated.
+    - ``device_batcher=draw``: the full (images, labels) datasets live on
+      DEVICE; every scan step draws/augments its batch in-jit —
+      ``run(state, f_data, r_data, rng)``. Zero per-step transfers.
+    """
+    step_fn = make_sfron_step(cfg, optimizer, forget_loss_fn,
+                              remain_loss_fn, jit=False, donate=False,
+                              **kwargs)
+
+    if device_batcher is None:
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(state, f_chunk, r_chunk, rng):
+            def body(st, xs):
+                fb, rb = xs
+                st, metrics = step_fn(st, fb, rb, rng)
+                return st, metrics
+
+            return jax.lax.scan(body, state, (f_chunk, r_chunk))
+
+        return run
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_resident(state, f_data, r_data, rng):
+        def body(st, _):
+            kb = jax.random.fold_in(jax.random.fold_in(rng, st.step), 0x5F)
+            kf, kr = jax.random.split(kb)
+            fb = device_batcher(f_data, kf)
+            rb = device_batcher(r_data, kr)
+            st, metrics = step_fn(st, fb, rb, rng)
+            return st, metrics
+
+        return jax.lax.scan(body, state, None, length=chunk)
+
+    return run_resident
