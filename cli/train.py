@@ -20,6 +20,18 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def str2bool(v: str) -> bool:
+    # argparse type=bool treats any non-empty string (incl. "False") as
+    # True; parse the usual spellings explicitly instead
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", type=str, required=True)
@@ -52,9 +64,9 @@ def parse_args():
     p.add_argument("--verbose", type=str, default="info")
     # reference flags accepted for command-line parity (semantics live in
     # the respective modes/configs)
-    p.add_argument("--uc", type=bool, default=True)
+    p.add_argument("--uc", type=str2bool, default=True)
     p.add_argument("--negative_guidance", type=float, default=1.0)
-    p.add_argument("--sparse", type=bool, default=False)
+    p.add_argument("--sparse", type=str2bool, default=False)
     # mask generation
     p.add_argument("--threshold", type=float, nargs="+", default=[1.0])
     p.add_argument("--mask_ratio", type=float, nargs="+", default=[0.5])

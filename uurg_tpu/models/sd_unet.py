@@ -225,34 +225,117 @@ def init_sd_unet(key, cfg: SDUNetConfig, latent_size: int = 64,
 
 
 # -- train_method parameter-subset masks -----------------------------------
+#
+# The reference selects trainable parameters by iterating
+# `model.model.diffusion_model.named_parameters()` and applying substring /
+# prefix tests on the CompVis torch names
+# (SD/train-scripts/train-esd.py:209-235, nsfw_removal.py:67-77):
+#   noxattn  : all except  name.startswith("out.") | "attn2" | "time_embed"
+#   selfattn : "attn1" in name
+#   xattn    : "attn2" in name
+#   full     : everything
+#   notime   : all except  name.startswith("out.") | "time_embed"
+#   xlayer   : "attn2"  and ("output_blocks.6." in name or "output_blocks.8.")
+#   selflayer: "attn1"  and ("input_blocks.4."  in name or "input_blocks.7.")
+#
+# To apply those rules verbatim we map every Flax param path to its CompVis
+# torch-name equivalent (block numbering: input_blocks.0 = conv_in, then
+# num_res_blocks res(+attn) blocks plus one downsample slot per level;
+# output_blocks get (num_res_blocks+1) slots per level in reversed order),
+# then run the reference's decision function on the mapped name.
 
-_METHOD_RULES = {
-    # name -> (include_regexes, exclude_regexes) over flattened param paths
-    "full": ([r".*"], []),
-    "xattn": ([r".*attn2.*"], []),
-    "selfattn": ([r".*attn1.*"], []),
-    "noxattn": ([r".*"], [r".*attn2.*", r".*time_embed.*", r"up_0.*"]),
-    "notime": ([r".*"], [r".*time_embed.*", r".*emb_proj.*"]),
-    "xlayer": ([r".*attn2.*"], [r"down.*"]),
-    "selflayer": ([r".*attn1.*"], [r"down.*"]),
-}
+def _arch_dims(paths):
+    """Infer (levels, num_res_blocks) from the flattened param paths."""
+    levels, nres = 1, 1
+    for p in paths:
+        # decoder levels run num_res_blocks + 1 res blocks, so only the
+        # encoder (down_*) paths reflect num_res_blocks itself
+        m = re.match(r"(?:down|up)_(\d+)_", p)
+        if m:
+            levels = max(levels, int(m.group(1)) + 1)
+        m = re.match(r"down_(\d+)_res_(\d+)", p)
+        if m:
+            nres = max(nres, int(m.group(2)) + 1)
+    return levels, nres
 
 
-def _decide(path, method: str) -> bool:
-    inc, exc = _METHOD_RULES[method]
-    p = "/".join(str(k.key) for k in path)
-    if any(re.match(r, p) for r in exc):
-        return False
-    return any(re.match(r, p) for r in inc)
+def _torch_name(p: str, levels: int, nres: int) -> str:
+    """Map a '/'-joined Flax param path to its CompVis torch-name
+    equivalent (enough of it for the reference's substring tests)."""
+    head, _, rest = p.partition("/")
+    rest = rest.replace("/", ".")
+    per = nres + 1  # res(+attn) slots plus the down/up-sample slot
+    m = re.match(r"down_(\d+)_(res|attn)_(\d+)$", head)
+    if m:
+        i, kind, j = int(m.group(1)), m.group(2), int(m.group(3))
+        sub = "0" if kind == "res" else "1.transformer_blocks"
+        return f"input_blocks.{1 + i * per + j}.{sub}.{rest}"
+    m = re.match(r"down_(\d+)_downsample$", head)
+    if m:
+        return f"input_blocks.{1 + int(m.group(1)) * per + nres}.0.op.{rest}"
+    m = re.match(r"up_(\d+)_(res|attn)_(\d+)$", head)
+    if m:
+        i, kind, j = int(m.group(1)), m.group(2), int(m.group(3))
+        sub = "0" if kind == "res" else "1.transformer_blocks"
+        return f"output_blocks.{(levels - 1 - i) * per + j}.{sub}.{rest}"
+    m = re.match(r"up_(\d+)_upsample$", head)
+    if m:
+        i = int(m.group(1))
+        return f"output_blocks.{(levels - 1 - i) * per + nres}.2.conv.{rest}"
+    fixed = {
+        "conv_in": "input_blocks.0.0",
+        "mid_res_1": "middle_block.0",
+        "mid_attn": "middle_block.1.transformer_blocks",
+        "mid_res_2": "middle_block.2",
+        "time_embed_0": "time_embed.0",
+        "time_embed_2": "time_embed.2",
+        "norm_out": "out.0",
+        "conv_out": "out.2",
+    }
+    return f"{fixed[head]}.{rest}"
+
+
+def reference_train_method_select(name: str, method: str) -> bool:
+    """The reference's parameter-selection predicate, transcribed verbatim
+    from SD/train-scripts/train-esd.py:209-235 over CompVis torch names."""
+    if method == "full":
+        return True
+    if method == "noxattn":
+        return not (name.startswith("out.") or "attn2" in name
+                    or "time_embed" in name)
+    if method == "selfattn":
+        return "attn1" in name
+    if method == "xattn":
+        return "attn2" in name
+    if method == "notime":
+        return not (name.startswith("out.") or "time_embed" in name)
+    if method == "xlayer":
+        return "attn2" in name and ("output_blocks.6." in name
+                                    or "output_blocks.8." in name)
+    if method == "selflayer":
+        return "attn1" in name and ("input_blocks.4." in name
+                                    or "input_blocks.7." in name)
+    raise ValueError(f"unknown train_method {method!r}")
+
+
+def _path_decisions(params, method: str):
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    paths = ["/".join(str(k.key) for k in path) for path, _ in flat]
+    levels, nres = _arch_dims(paths)
+    return {p: reference_train_method_select(_torch_name(p, levels, nres),
+                                             method)
+            for p in paths}
 
 
 def train_method_mask(params, method: str):
     """0/1 gradient mask implementing the reference's train_method param
-    selection (SD/train-scripts/train-esd.py:152-210 policy names)."""
+    selection (SD/train-scripts/train-esd.py:209-235 policy names)."""
+    decisions = _path_decisions(params, method)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: jnp.full(leaf.shape,
-                                    float(_decide(path, method)),
-                                    jnp.float32),
+        lambda path, leaf: jnp.full(
+            leaf.shape,
+            float(decisions["/".join(str(k.key) for k in path)]),
+            jnp.float32),
         params)
 
 
@@ -262,5 +345,7 @@ def train_method_leaf_mask(params, method: str):
     makes the 860M SD UNet trainable (Adam state only for the selected
     parameter subset). train_method subsets always select whole layers, so
     the leaf-level mask is exact."""
+    decisions = _path_decisions(params, method)
     return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _decide(path, method), params)
+        lambda path, leaf: decisions["/".join(str(k.key) for k in path)],
+        params)

@@ -258,8 +258,6 @@ def bad_teacher(ctx: UnlearnContext, key=None):
     rand_params, rand_bs = ctx.init_fn(jax.random.key(ctx.seed + 1))
 
     merged, flags = _merged(ctx.retain_train, ctx.forget_train)
-    merged_flagged = ArrayDataset(merged.images, flags)  # labels == flags
-    true_labels = merged.labels
 
     opt = make_optimizer("sgd", ctx.hp("lr", 0.02), momentum=0.9,
                          weight_decay=5e-4)
