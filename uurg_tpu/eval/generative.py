@@ -70,39 +70,73 @@ def inception_score(logits: np.ndarray, split_size: int = 5000) -> float:
     return float(np.mean(scores))
 
 
-def _pairwise_sq_dists(a: np.ndarray, b: np.ndarray,
-                       block: int = 4096) -> np.ndarray:
-    """Blocked squared euclidean distances (row batches keep memory flat)."""
-    out = np.empty((len(a), len(b)), np.float32)
-    b_sq = np.sum(b.astype(np.float64) ** 2, axis=1)
-    for i in range(0, len(a), block):
-        chunk = a[i : i + block].astype(np.float64)
-        d = (np.sum(chunk**2, axis=1)[:, None] + b_sq[None, :]
-             - 2 * chunk @ b.astype(np.float64).T)
-        out[i : i + block] = np.maximum(d, 0)
-    return out
+def _sq_dists_block(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Squared euclidean distances for one (row, col) block pair.
+
+    float32 compute — the reference's DistanceBlock runs the same
+    ||a||^2 + ||b||^2 - 2ab expansion in TF float32
+    (DDPM/evaluator.py:224-259)."""
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    d = (np.sum(a * a, axis=1)[:, None] + np.sum(b * b, axis=1)[None, :]
+         - 2.0 * (a @ b.T))
+    return np.maximum(d, 0.0, out=d)
 
 
-def knn_radii(feats: np.ndarray, k: int = 3) -> np.ndarray:
-    """Distance to the k-th nearest neighbor (excluding self)."""
-    d = _pairwise_sq_dists(feats, feats)
-    np.fill_diagonal(d, np.inf)
-    return np.sort(d, axis=1)[:, k - 1]
+def knn_radii(feats: np.ndarray, k: int = 3, row_block: int = 4096,
+              col_block: int = 4096) -> np.ndarray:
+    """Distance to the k-th nearest neighbor (excluding self), blocked on
+    BOTH axes so memory stays at O(row_block * col_block) — the reference's
+    ManifoldEstimator.manifold_radii row/col batching
+    (DDPM/evaluator.py:300-336) taken one step further (the reference still
+    holds one full [row_batch, N] strip; at 50k x 50k that strip alone is
+    2 GB, ours is ~64 MB)."""
+    n = len(feats)
+    radii = np.empty(n, np.float32)
+    for i0 in range(0, n, row_block):
+        rows = feats[i0 : i0 + row_block]
+        m = len(rows)
+        # running k smallest distances per row across all column blocks
+        best = np.full((m, k), np.inf, np.float32)
+        for j0 in range(0, n, col_block):
+            d = _sq_dists_block(rows, feats[j0 : j0 + col_block])
+            # exclude self-distances where the row/col blocks overlap
+            ii = np.arange(m)
+            jj = ii + (i0 - j0)
+            valid = (jj >= 0) & (jj < d.shape[1])
+            d[ii[valid], jj[valid]] = np.inf
+            kk = min(k, d.shape[1])
+            cand = np.concatenate(
+                [best, np.partition(d, kk - 1, axis=1)[:, :kk]], axis=1)
+            best = np.partition(cand, k - 1, axis=1)[:, :k]
+        radii[i0 : i0 + m] = best.max(axis=1)  # k-th smallest overall
+    return radii
 
 
 def precision_recall(feats_ref: np.ndarray, feats_sample: np.ndarray,
-                     k: int = 3) -> tuple[float, float]:
+                     k: int = 3, row_block: int = 4096,
+                     col_block: int = 4096) -> tuple[float, float]:
     """Improved precision/recall (Kynkaanniemi et al.), ADM k=3.
 
     precision: fraction of samples inside some ref manifold sphere;
     recall: fraction of refs inside some sample manifold sphere.
-    """
-    r_ref = knn_radii(feats_ref, k)
-    r_sam = knn_radii(feats_sample, k)
-    d = _pairwise_sq_dists(feats_sample, feats_ref)
-    precision = float(np.mean(np.any(d <= r_ref[None, :], axis=1)))
-    recall = float(np.mean(np.any(d.T <= r_sam[None, :], axis=1)))
-    return precision, recall
+    Both directions accumulate over block pairs in one sweep, so peak
+    memory is one row_block x col_block tile (reference protocol:
+    DDPM/evaluator.py:261-344 at 50k x 50k scale)."""
+    r_ref = knn_radii(feats_ref, k, row_block, col_block)
+    r_sam = knn_radii(feats_sample, k, row_block, col_block)
+    in_ref = np.zeros(len(feats_sample), bool)  # sample in some ref sphere
+    in_sam = np.zeros(len(feats_ref), bool)     # ref in some sample sphere
+    for i0 in range(0, len(feats_sample), row_block):
+        rows = feats_sample[i0 : i0 + row_block]
+        for j0 in range(0, len(feats_ref), col_block):
+            d = _sq_dists_block(rows, feats_ref[j0 : j0 + col_block])
+            nc = d.shape[1]
+            in_ref[i0 : i0 + len(rows)] |= np.any(
+                d <= r_ref[j0 : j0 + nc][None, :], axis=1)
+            in_sam[j0 : j0 + nc] |= np.any(
+                d <= r_sam[i0 : i0 + len(rows)][:, None], axis=0)
+    return float(in_ref.mean()), float(in_sam.mean())
 
 
 def evaluate_all(
