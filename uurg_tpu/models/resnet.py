@@ -4,6 +4,11 @@ Parity target: Classification/models/resnet.py:107-124 — 3x3 conv stem (no
 maxpool), BasicBlock for 18/34, Bottleneck for 50/101/152, BN+ReLU, global
 average pool, linear head. Built TPU-first: NHWC, configurable compute dtype,
 BatchNorm statistics in float32.
+
+All convolutions use explicit torch-style padding (pad 1 for 3x3, pad 3 for
+the 7x7 stem) rather than XLA "SAME": on strided convs the two differ in
+alignment, and torch alignment is required for exact numerical parity with
+torchvision/reference checkpoints (io/tv_resnet_interop.py).
 """
 from __future__ import annotations
 
@@ -27,11 +32,12 @@ class BasicBlock(nn.Module):
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=jnp.float32)
         h = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
         h = norm(name="bn1")(h)
         h = nn.relu(h)
-        h = nn.Conv(self.filters, (3, 3), use_bias=False, dtype=self.dtype,
-                    name="conv2")(h)
+        h = nn.Conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = norm(name="bn2")(h)
         if x.shape[-1] != self.filters or self.strides != 1:
             x = nn.Conv(self.filters, (1, 1), (self.strides, self.strides),
@@ -55,7 +61,8 @@ class Bottleneck(nn.Module):
                     name="conv1")(x)
         h = nn.relu(norm(name="bn1")(h))
         h = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
-                    use_bias=False, dtype=self.dtype, name="conv2")(h)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(h)
         h = nn.relu(norm(name="bn2")(h))
         h = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv3")(h)
@@ -81,16 +88,19 @@ class ResNet(nn.Module):
     def __call__(self, x, *, train: bool = False):
         x = x.astype(self.dtype)
         if self.imagenet_stem:
-            x = nn.Conv(self.width, (7, 7), strides=(2, 2), use_bias=False,
+            x = nn.Conv(self.width, (7, 7), strides=(2, 2),
+                        padding=((3, 3), (3, 3)), use_bias=False,
                         dtype=self.dtype, name="conv_stem")(x)
         else:
-            x = nn.Conv(self.width, (3, 3), use_bias=False, dtype=self.dtype,
+            x = nn.Conv(self.width, (3, 3), padding=((1, 1), (1, 1)),
+                        use_bias=False, dtype=self.dtype,
                         name="conv_stem")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn_stem")(x)
         x = nn.relu(x)
         if self.imagenet_stem:
-            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
         for i, n_blocks in enumerate(self.stage_sizes):
             for j in range(n_blocks):
                 strides = 2 if i > 0 and j == 0 else 1
@@ -102,24 +112,29 @@ class ResNet(nn.Module):
         return x
 
 
-def ResNet18(num_classes=10, dtype=jnp.float32):
-    return ResNet([2, 2, 2, 2], BasicBlock, num_classes, dtype=dtype)
+def ResNet18(num_classes=10, dtype=jnp.float32, imagenet_stem=False):
+    return ResNet([2, 2, 2, 2], BasicBlock, num_classes, dtype=dtype,
+                  imagenet_stem=imagenet_stem)
 
 
-def ResNet34(num_classes=10, dtype=jnp.float32):
-    return ResNet([3, 4, 6, 3], BasicBlock, num_classes, dtype=dtype)
+def ResNet34(num_classes=10, dtype=jnp.float32, imagenet_stem=False):
+    return ResNet([3, 4, 6, 3], BasicBlock, num_classes, dtype=dtype,
+                  imagenet_stem=imagenet_stem)
 
 
-def ResNet50(num_classes=10, dtype=jnp.float32):
-    return ResNet([3, 4, 6, 3], Bottleneck, num_classes, dtype=dtype)
+def ResNet50(num_classes=10, dtype=jnp.float32, imagenet_stem=False):
+    return ResNet([3, 4, 6, 3], Bottleneck, num_classes, dtype=dtype,
+                  imagenet_stem=imagenet_stem)
 
 
-def ResNet101(num_classes=10, dtype=jnp.float32):
-    return ResNet([3, 4, 23, 3], Bottleneck, num_classes, dtype=dtype)
+def ResNet101(num_classes=10, dtype=jnp.float32, imagenet_stem=False):
+    return ResNet([3, 4, 23, 3], Bottleneck, num_classes, dtype=dtype,
+                  imagenet_stem=imagenet_stem)
 
 
-def ResNet152(num_classes=10, dtype=jnp.float32):
-    return ResNet([3, 8, 36, 3], Bottleneck, num_classes, dtype=dtype)
+def ResNet152(num_classes=10, dtype=jnp.float32, imagenet_stem=False):
+    return ResNet([3, 8, 36, 3], Bottleneck, num_classes, dtype=dtype,
+                  imagenet_stem=imagenet_stem)
 
 
 def init_classifier(key: jax.Array, model: nn.Module, resolution: int = 32,
