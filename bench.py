@@ -1,18 +1,31 @@
-"""Benchmark: the north-star SFR-on two-phase step on the DDPM CIFAR-10 config.
+"""Benchmark suite: every headline workload metric, one driver-parseable line.
 
-Measures the full fused unlearning iteration — adaga forget loss fwd+bwd,
-saliency-mask multiply, clip, Adam update, remain loss fwd+bwd, clip, Adam
-update, EMA lerp — on the 35.7M-param conditional UNet at batch 128 / 32x32
+Headline (the driver's north-star): the fused SFR-on two-phase step on the
+DDPM CIFAR-10 config — adaga forget loss fwd+bwd, saliency-mask multiply,
+clip, Adam update, remain loss fwd+bwd, clip, Adam update, EMA lerp — on the
+35.7M-param conditional UNet at batch 128 / 32x32
 (DDPM/configs/cifar10_sfron.yml). The reference's claim is class-forgetting
 "in just 50 steps" (README.md:18); BASELINE.json sets the target as 50-step
 wall-clock at >= 2x A100.
 
-Output: one JSON line {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` compares our steps/sec against an estimated reference
-throughput of 3.0 it/s for torch on a single A100 (two fwd+bwd passes of the
-35.7M UNet at batch 128 plus host-side mask loops; the reference publishes no
-wall-clock numbers — see BASELINE.md).
+Also measured (round-3: regressions in ANY headline claim become visible):
+  - ddim50_cfg_sampling_b128      imgs/sec, DDIM-50 with CFG double-forward
+  - classification_sfron_b256     it/sec, ResNet-18 device-resident scan path
+  - evaluator_inception_features  imgs/sec, FID/sFID/IS feature extraction
+  - dit_xl2_sfron_step_b16        steps/sec, DiT-XL/2 675M two-phase step
+  - sd_unet_nsfw_step_b4_xattn    steps/sec, SD 860M nsfw_removal step
+
+Output: ONE JSON line — the headline metric dict {"metric", "value",
+"unit", "vs_baseline"} extended with an "all" array carrying every metric
+(same schema per entry; failed benches carry an "error" field instead of a
+value).
+
+``vs_baseline`` divides our number by an ESTIMATED torch single-A100
+throughput (the reference publishes no wall-clock numbers — BASELINE.md);
+estimates are listed in _EST below and documented in README.md.
 """
+import argparse
+import gc
 import json
 import os
 import sys
@@ -28,18 +41,34 @@ jax.config.update("jax_compilation_cache_dir",
                                ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-A100_REF_STEPS_PER_SEC_EST = 3.0
+# Estimated reference (torch, single A100) throughputs. The reference repo
+# publishes no wall-clock numbers; these are engineering estimates used only
+# to populate vs_baseline: DDPM step = two fwd+bwd of the 35.7M UNet b128
+# plus host-side named_parameters() mask loops; sampling = python loop,
+# 2x CFG forwards per step; DiT-XL/SD = DataParallel single-process rates;
+# classification = ResNet-18 b256 fwd+bwd with host dataloader; evaluator =
+# the TF1 Inception session pipeline.
+_EST = {
+    "ddpm_cifar10_sfron_two_phase_step_b128": 3.0,     # steps/sec
+    "ddim50_cfg_sampling_b128": 45.0,                  # imgs/sec
+    "classification_sfron_b256": 250.0,                # it/sec
+    "evaluator_inception_features_b256": 400.0,        # imgs/sec
+    "dit_xl2_sfron_step_b16": 1.2,                     # steps/sec
+    "sd_unet_nsfw_step_b4_xattn": 1.0,                 # steps/sec
+}
 
 
-def main():
-    from uurg_tpu.utils.rng import configure_rng
+def note(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    configure_rng("auto")  # rbg on TPU: the training-CLI default
+
+def _metric(name, value, unit):
+    return {"metric": name, "value": round(value, 3), "unit": unit,
+            "vs_baseline": round(value / _EST[name], 3)}
+
+
+def _ddpm_workload(batch):
     from uurg_tpu.core.config import Config
-    from uurg_tpu.core import tree as tr
-    from uurg_tpu.train import make_optimizer
-    from uurg_tpu.unlearn import SFRonConfig, fisher_ratio_mask, make_sfron_step
-    from uurg_tpu.unlearn.sfron import init_state
     from uurg_tpu.workloads.ddpm import DDPMWorkload
 
     cfg = Config({
@@ -54,31 +83,36 @@ def main():
                       "beta_end": 2e-2, "num_diffusion_timesteps": 1000},
         "training": {"lambd": 0.5},
     })
-    batch = 128
+    return DDPMWorkload.from_config(cfg, dtype=jnp.bfloat16)
 
-    def note(msg):
-        print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
-    wl = DDPMWorkload.from_config(cfg, dtype=jnp.bfloat16)
-    note("init_params...")
-    params = wl.init_params(jax.random.key(0))
-    jax.block_until_ready(params)
-    note("init done")
-
+def _random_mask(params, key):
     # realistic ~50%-sparse saliency mask, built in ONE jitted dispatch
     @jax.jit
-    def make_mask(key):
+    def make(key):
         leaves, treedef = jax.tree_util.tree_flatten(params)
         keys = jax.random.split(key, len(leaves))
-        masks = [
-            (jax.random.uniform(k, p.shape) > 0.5).astype(jnp.float32)
-            for k, p in zip(keys, leaves)
-        ]
+        masks = [(jax.random.uniform(k, p.shape) > 0.5).astype(jnp.float32)
+                 for k, p in zip(keys, leaves)]
         return jax.tree_util.tree_unflatten(treedef, masks)
 
-    mask = make_mask(jax.random.key(1))
+    mask = make(key)
     jax.block_until_ready(mask)
-    note("mask done")
+    return mask
+
+
+def bench_ddpm_sfron_step(batch=128, n_steps=30):
+    """Headline: the fused two-phase step (DDPM/runners/diffusion.py
+    sfron_forget hot loop, 1075-1176) at batch 128."""
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+
+    wl = _ddpm_workload(batch)
+    note("ddpm: init_params...")
+    params = wl.init_params(jax.random.key(0))
+    jax.block_until_ready(params)
+    mask = _random_mask(params, jax.random.key(1))
 
     opt = make_optimizer("adam", 1e-4, beta1=0.9, eps=1e-8)
     sf_cfg = SFRonConfig(n_iters=150, forget_alpha=10.0, remain_alpha=1.0,
@@ -94,26 +128,226 @@ def main():
     rb = (jax.random.normal(jax.random.fold_in(kd, 1), (batch, 32, 32, 3)) * 0.5,
           jax.random.randint(jax.random.fold_in(kd, 2), (batch,), 1, 10))
 
-    note("state ready; compiling two-phase step...")
-    # warmup / compile
+    note("ddpm: compiling two-phase step...")
     state, _ = step(state, fb, rb, jax.random.key(3))
     jax.block_until_ready(state.params)
-    note("step compiled")
 
-    n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, fb, rb, jax.random.key(3))
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
+    return _metric("ddpm_cifar10_sfron_two_phase_step_b128", n_steps / dt,
+                   "steps/sec")
 
-    steps_per_sec = n_steps / dt
-    print(json.dumps({
-        "metric": "ddpm_cifar10_sfron_two_phase_step_b128",
-        "value": round(steps_per_sec, 3),
-        "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / A100_REF_STEPS_PER_SEC_EST, 3),
-    }))
+
+def bench_ddim50_sampling(batch=128, n_rounds=3):
+    """DDIM-50 CFG sampling (DDPM/runners/diffusion.py:825-872 sample_image
+    as a lax.scan) — the FID-set generation rate."""
+    wl = _ddpm_workload(batch)
+    params = wl.init_params(jax.random.key(0))
+    sampler = jax.jit(wl.make_sampler(num_steps=50, cond_scale=2.0))
+    labels = jnp.arange(batch, dtype=jnp.int32) % 10
+    note("ddim50: compiling sampler...")
+    out = sampler(params, labels, jax.random.key(1))
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(n_rounds):
+        out = sampler(params, labels, jax.random.key(i))
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return _metric("ddim50_cfg_sampling_b128", n_rounds * batch / dt,
+                   "imgs/sec")
+
+
+def bench_classification(batch=256, chunk=50, n_chunks=6):
+    """ResNet-18 SFR-on device-resident scan path (the main_random.py
+    protocol engine: forget every 5 steps, fast-slow mix, BN state)."""
+    import numpy as np
+
+    from uurg_tpu.models.resnet import ResNet18, init_classifier
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.train.optim import cosine_annealing
+    from uurg_tpu.unlearn import SFRonConfig
+    from uurg_tpu.unlearn.methods.classification import _device_batcher
+    from uurg_tpu.unlearn.sfron import init_state, make_sfron_scan
+    from uurg_tpu.workloads.classification import Classifier
+
+    model = ResNet18()
+    params, batch_stats = init_classifier(jax.random.key(0), model)
+    cls = Classifier(model)
+    opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4)
+    cfg = SFRonConfig(n_iters=1500, forget_alpha=25.0, remain_alpha=1.0,
+                      alpha_sched="cosine", forget_freq=5, forget_clip=7.0,
+                      remain_clip=None, fast_slow_beta=1.0)
+    run = make_sfron_scan(cfg, opt, cls.neg_adaptive_ce_loss_fn(0.5),
+                          cls.ce_loss_fn(), chunk,
+                          lr_schedule=cosine_annealing(0.01, 1500),
+                          has_model_state=True,
+                          device_batcher=_device_batcher(batch, augment=True))
+    rng = np.random.default_rng(0)
+    f_data = (jnp.asarray(rng.integers(0, 255, (5000, 32, 32, 3), np.uint8)),
+              jnp.zeros((5000,), jnp.int32))
+    r_data = (jnp.asarray(rng.integers(0, 255, (45000, 32, 32, 3), np.uint8)),
+              jnp.asarray(rng.integers(0, 10, 45000).astype(np.int32)))
+    state = init_state(params, opt, model_state=batch_stats)
+    note("classification: compiling scan chunk...")
+    state, _ = run(state, f_data, r_data, jax.random.key(1))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state, _ = run(state, f_data, r_data, jax.random.key(1))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return _metric("classification_sfron_b256", n_chunks * chunk / dt,
+                   "it/sec")
+
+
+def bench_evaluator(batch=256, n_batches=8):
+    """Inception feature extraction (pool/spatial/logits — the FID/sFID/IS
+    front end, DDPM/evaluator.py read_activations). Random-init weights:
+    throughput only."""
+    import numpy as np
+
+    from uurg_tpu.eval.inception import init_inception, make_extractor
+
+    _, variables = init_inception(jax.random.key(0))
+    extract = make_extractor(variables)
+    imgs = np.random.default_rng(0).integers(
+        0, 255, (batch, 32, 32, 3), np.uint8)
+    note("evaluator: compiling inception...")
+    extract(imgs)  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = extract(imgs)
+    dt = time.perf_counter() - t0
+    del out
+    return _metric("evaluator_inception_features_b256",
+                   n_batches * batch / dt, "imgs/sec")
+
+
+def bench_dit_xl(batch=16, n_steps=10):
+    """DiT-XL/2 (675M) two-phase step at batch 16 latents (DiT/forget.py
+    hot loop) — bf16 Adam-mu + bf16 EMA memory policy, saliency mask."""
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+    from uurg_tpu.workloads.dit import DiTWorkload
+
+    wl = DiTWorkload.build("DiT-XL/2")
+    note("dit: init_params (675M)...")
+    params = wl.init_params(jax.random.key(0))
+    jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+    mask = _random_mask(params, jax.random.key(1))
+    opt = make_optimizer("adamw", 1e-4, weight_decay=0.0,
+                         mu_dtype=jnp.bfloat16)
+    cfg = SFRonConfig(n_iters=600, forget_alpha=1e-3, remain_alpha=1.0,
+                      alpha_sched="const", forget_clip=1.0, remain_clip=None,
+                      ema_mu=0.9999)
+    step = make_sfron_step(cfg, opt, wl.forget_loss_fn("ga"),
+                           wl.train_loss_fn())
+    state = init_state(params, opt, ema=True, mask=mask,
+                       ema_dtype=jnp.bfloat16)
+    del params, mask
+    gc.collect()
+    kd = jax.random.key(2)
+    fb = (jax.random.normal(kd, (batch, 32, 32, 4)) * 0.2,
+          jnp.zeros((batch,), jnp.int32))
+    rb = (jax.random.normal(jax.random.fold_in(kd, 1), (batch, 32, 32, 4)) * 0.2,
+          jax.random.randint(jax.random.fold_in(kd, 2), (batch,), 1, 1000))
+    note("dit: compiling two-phase step...")
+    state, _ = step(state, fb, rb, jax.random.key(3))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, _ = step(state, fb, rb, jax.random.key(3))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return _metric("dit_xl2_sfron_step_b16", n_steps / dt, "steps/sec")
+
+
+def bench_sd(batch=4, n_steps=10):
+    """SD-v1 UNet (860M) nsfw_removal two-phase step at batch 4,
+    train_method=xattn (SD/train-scripts/nsfw_removal.py:108-203)."""
+    from uurg_tpu.models.sd_unet import init_sd_unet, SDUNetConfig
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+    from uurg_tpu.workloads.sd import SDWorkload
+    from uurg_tpu.workloads.sd_runner import _method_optimizer
+
+    wl = SDWorkload.build()
+    note("sd: init_params (860M)...")
+    _, unet_params = init_sd_unet(jax.random.key(0), SDUNetConfig())
+    opt = _method_optimizer(unet_params, "xattn", 1e-5)
+    cfg = SFRonConfig(n_iters=1000, forget_alpha=1.0, remain_alpha=1.0,
+                      alpha_sched="const", forget_clip=None, remain_clip=None)
+    step = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
+                           wl.shared_step_loss)
+    state = init_state(unet_params, opt)
+    del unet_params  # the state holds its own copy; don't double-hold 3.4GB
+    gc.collect()
+    kd = jax.random.key(2)
+    z = jax.random.normal(kd, (batch, 64, 64, 4)) * 0.2
+    ctx_f = jax.random.normal(jax.random.fold_in(kd, 1), (batch, 77, 768)) * 0.1
+    ctx_p = jax.random.normal(jax.random.fold_in(kd, 2), (batch, 77, 768)) * 0.1
+    fb = (z, ctx_f, ctx_p)
+    rb = (z, ctx_p)
+    note("sd: compiling two-phase step...")
+    state, _ = step(state, fb, rb, jax.random.key(3))
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, _ = step(state, fb, rb, jax.random.key(3))
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+    return _metric("sd_unet_nsfw_step_b4_xattn", n_steps / dt, "steps/sec")
+
+
+BENCHES = [
+    ("ddpm", bench_ddpm_sfron_step),
+    ("classification", bench_classification),
+    ("ddim50", bench_ddim50_sampling),
+    ("evaluator", bench_evaluator),
+    ("dit", bench_dit_xl),
+    ("sd", bench_sd),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated bench names (default: all)")
+    args = ap.parse_args()
+    only = {s for s in args.only.split(",") if s}
+
+    from uurg_tpu.utils.rng import configure_rng
+
+    configure_rng("auto")  # rbg on TPU: the training-CLI default
+
+    results = []
+    for name, fn in BENCHES:
+        if only and name not in only:
+            continue
+        note(f"=== {name} ===")
+        try:
+            t0 = time.perf_counter()
+            m = fn()
+            note(f"{name}: {m['value']} {m['unit']} "
+                 f"({time.perf_counter() - t0:.0f}s incl. compile)")
+            results.append(m)
+        except Exception as e:  # record the failure, keep benching
+            note(f"{name} FAILED: {e!r}")
+            results.append({"metric": name, "error": repr(e)})
+        gc.collect()
+
+    headline = next(
+        (m for m in results
+         if m.get("metric") == "ddpm_cifar10_sfron_two_phase_step_b128"
+         and "value" in m),
+        results[0] if results else {"metric": "none", "error": "no benches"})
+    out = dict(headline)
+    out["all"] = results
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
