@@ -1,0 +1,208 @@
+"""Comparative unlearning protocol: Baseline / Retrain / method rows.
+
+The reference's actual deliverable is the comparison table — every unlearning
+method evaluated against Baseline (the pretrained model, no unlearning) and
+Retrain (exact unlearning: re-train on retain only) on retain / forget / test
+accuracy plus the membership-inference probe
+(Classification/main_random.py:113-148, Classification/evaluation/mia.py).
+This module runs that protocol end-to-end from ONE pretrained model and emits
+one row per method, so efficacy — "does it actually forget?" — is a
+first-class, testable output rather than a by-product of per-method CLIs.
+
+In ``forget_mode='class'`` the test set is additionally split by the
+forgotten label so the table separates ``test_retain_acc`` (generalization
+that must hold) from ``test_forget_acc`` (generalization that must collapse);
+the reference prints these as two loader passes in its full-class scripts.
+"""
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Any, Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uurg_tpu.data.arrays import ArrayDataset, epoch_batches, infinite_batches
+from uurg_tpu.data.splits import class_forget_split, random_forget_split
+from uurg_tpu.eval.features import softmax
+from uurg_tpu.eval.mia import membership_attack_prob
+from uurg_tpu.models.resnet import init_classifier
+from uurg_tpu.train import make_optimizer
+from uurg_tpu.unlearn.methods.classification import (UnlearnContext,
+                                                     unlearn_method_registry)
+from uurg_tpu.workloads.classification import Classifier
+
+log = logging.getLogger("uurg.protocol")
+
+
+def pretrain(cls: Classifier, params, batch_stats, train_ds: ArrayDataset,
+             *, epochs: int = 30, lr: float = 0.1, batch_size: int = 256,
+             seed: int = 0, transform: Callable | None = None):
+    """SGD-momentum + per-epoch cosine annealing supervised training — the
+    main_pretrain.py recipe (Classification/main_pretrain.py:58-89) as a
+    callable, shared by the protocol's Baseline stage and tests."""
+    opt = make_optimizer("sgd", lr, momentum=0.9, weight_decay=5e-4)
+    opt_state = jax.jit(opt.init)(params)
+    steps_per_epoch = max(1, -(-len(train_ds) // batch_size))
+    lr_sched = lambda it: lr * (1.0 + jnp.cos(
+        jnp.pi * (it // steps_per_epoch) / epochs)) / 2.0
+    step = cls.make_train_step(opt, lr_schedule=lr_sched)
+    carry = (params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
+    key = jax.random.key(seed)
+    for epoch in range(epochs):
+        it = infinite_batches(train_ds, batch_size, seed=seed + epoch,
+                              transform=transform)
+        for _ in range(steps_per_epoch):
+            x, y = next(it)
+            key, sub = jax.random.split(key)
+            carry, metrics = step(carry, (jnp.asarray(x), jnp.asarray(y)),
+                                  sub)
+        if (epoch + 1) % max(1, epochs // 5) == 0:
+            log.info("pretrain epoch %d/%d loss %.4f acc %.3f", epoch + 1,
+                     epochs, float(metrics["loss"]), float(metrics["acc"]))
+    params, batch_stats = carry[0], carry[1]
+    return params, batch_stats
+
+
+def evaluate(cls: Classifier, params, batch_stats, retain: ArrayDataset,
+             forget: ArrayDataset, test_ds: ArrayDataset,
+             *, batch_size: int = 256,
+             label_to_forget: int | None = None) -> dict:
+    """One comparison-table row: accuracies + the logistic MIA probe
+    (Classification/main_random.py:113-148)."""
+    def batches(ds):
+        return epoch_batches(ds, batch_size)
+
+    row = {
+        "retain_acc": cls.validate(params, batch_stats, batches(retain))["acc"],
+        "forget_acc": cls.validate(params, batch_stats, batches(forget))["acc"],
+        "test_acc": cls.validate(params, batch_stats, batches(test_ds))["acc"],
+    }
+    if label_to_forget is not None:
+        t_retain, t_forget = class_forget_split(test_ds, label_to_forget)
+        row["test_retain_acc"] = cls.validate(
+            params, batch_stats, batches(t_retain))["acc"]
+        row["test_forget_acc"] = cls.validate(
+            params, batch_stats, batches(t_forget))["acc"]
+    rp, rl = cls.collect_logits(params, batch_stats, batches(retain))
+    fp, fl = cls.collect_logits(params, batch_stats, batches(forget))
+    tp, tl = cls.collect_logits(params, batch_stats, batches(test_ds))
+    row["mia"] = membership_attack_prob(
+        softmax(rp), rl, softmax(fp), fl, softmax(tp), tl)
+    return row
+
+
+def run_comparison(model, train_ds: ArrayDataset, test_ds: ArrayDataset,
+                   *, methods: Sequence[str] = ("Baseline", "Retrain",
+                                                "SFRon"),
+                   forget_mode: str = "class", label_to_forget: int = 0,
+                   forget_ratio: float = 0.1, batch_size: int = 256,
+                   seed: int = 0, num_classes: int | None = None,
+                   pretrain_epochs: int = 30, pretrain_lr: float = 0.1,
+                   pretrained: tuple | None = None,
+                   transform: Callable | None = None,
+                   overrides: dict[str, dict] | None = None,
+                   csv_path: str | None = None,
+                   save_path: str | None = None) -> list[dict]:
+    """Pretrain once, run each method from those weights, evaluate each.
+
+    ``overrides`` maps method name -> UnlearnContext.overrides dict (e.g.
+    ``{"SFRon": {"n_iters": 150}, "Retrain": {"epochs": 8}}``).
+    ``pretrained`` short-circuits the pretrain stage with an existing
+    ``(params, batch_stats)``. Returns the rows (also appended to
+    ``csv_path`` when given, header auto-written)."""
+    overrides = overrides or {}
+    if num_classes is None:
+        num_classes = int(train_ds.labels.max()) + 1
+    cls = Classifier(model)
+
+    if forget_mode == "class":
+        retain, forget = class_forget_split(train_ds, label_to_forget)
+        probe_label = label_to_forget
+    else:
+        retain, forget = random_forget_split(train_ds, forget_ratio, seed,
+                                             save_path)
+        probe_label = None
+
+    if pretrained is not None:
+        params, batch_stats = pretrained
+    else:
+        params, batch_stats = init_classifier(
+            jax.random.key(seed), model,
+            resolution=train_ds.images.shape[1])
+        log.info("pretraining %d epochs on the full train set...",
+                 pretrain_epochs)
+        params, batch_stats = pretrain(
+            cls, params, batch_stats, train_ds, epochs=pretrain_epochs,
+            lr=pretrain_lr, batch_size=batch_size, seed=seed,
+            transform=transform)
+
+    def init_fn(k):
+        return init_classifier(k, model,
+                               resolution=train_ds.images.shape[1])
+
+    rows = []
+    for name in methods:
+        method = unlearn_method_registry.get(name)
+        ctx = UnlearnContext(
+            classifier=cls, params=params, batch_stats=batch_stats,
+            retain_train=retain, forget_train=forget,
+            num_classes=num_classes, batch_size=batch_size, seed=seed,
+            save_path=save_path, transform=transform, init_fn=init_fn,
+            overrides=dict(overrides.get(name, {})))
+        t0 = time.time()
+        u_params, u_bs = method(ctx)
+        row = {"method": name, "unlearn_time": round(time.time() - t0, 2)}
+        row.update(evaluate(cls, u_params, u_bs, retain, forget, test_ds,
+                            batch_size=batch_size,
+                            label_to_forget=probe_label))
+        log.info("%s: %s", name,
+                 {k: (round(v, 4) if isinstance(v, float) else v)
+                  for k, v in row.items()})
+        rows.append(row)
+
+    if csv_path:
+        os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+        write_header = not os.path.exists(csv_path)
+        with open(csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0]))
+            if write_header:
+                w.writeheader()
+            w.writerows(rows)
+    return rows
+
+
+def assert_efficacy(rows: list[dict], *, forget_floor: float = 0.85,
+                    collapse_ceiling: float = 0.25,
+                    retain_slack: float = 0.08) -> None:
+    """Directionality gate over a Baseline/Retrain/<methods> comparison.
+
+    Asserts the unlearning actually unlearned: Baseline remembers the forget
+    split (acc >= forget_floor); every other method collapses forget accuracy
+    toward Retrain's (<= collapse_ceiling) while holding retain accuracy
+    within ``retain_slack`` of Baseline; MIA does not exceed Baseline's.
+    Raises AssertionError with the offending numbers."""
+    by = {r["method"]: r for r in rows}
+    base = by.pop("Baseline")
+    assert base["forget_acc"] >= forget_floor, \
+        f"Baseline forgot on its own: forget_acc={base['forget_acc']:.3f}"
+    assert base["retain_acc"] >= forget_floor, \
+        f"Baseline never learned: retain_acc={base['retain_acc']:.3f}"
+    for name, r in by.items():
+        assert r["forget_acc"] <= collapse_ceiling, \
+            (f"{name} did not forget: forget_acc={r['forget_acc']:.3f} "
+             f"(Baseline {base['forget_acc']:.3f})")
+        assert r["retain_acc"] >= base["retain_acc"] - retain_slack, \
+            (f"{name} damaged retain: {r['retain_acc']:.3f} vs Baseline "
+             f"{base['retain_acc']:.3f}")
+        if "test_retain_acc" in r:
+            assert r["test_retain_acc"] >= base["test_retain_acc"] - \
+                retain_slack, \
+                (f"{name} damaged test generalization: "
+                 f"{r['test_retain_acc']:.3f} vs {base['test_retain_acc']:.3f}")
+        assert r["mia"] <= base["mia"] + 0.05, \
+            (f"{name} MIA {r['mia']:.3f} above Baseline {base['mia']:.3f}")
