@@ -87,12 +87,15 @@ def _ddpm_workload(batch):
 
 
 def _random_mask(params, key):
-    # realistic ~50%-sparse saliency mask, built in ONE jitted dispatch
+    # realistic ~50%-sparse saliency mask, built in ONE jitted dispatch.
+    # bool, matching fisher_ratio_mask: 1 byte/elem in HBM; tree_mul casts
+    # at the multiply site (an f32 DiT-XL mask alone is 2.7GB and OOMs the
+    # 16GB chip)
     @jax.jit
     def make(key):
         leaves, treedef = jax.tree_util.tree_flatten(params)
         keys = jax.random.split(key, len(leaves))
-        masks = [(jax.random.uniform(k, p.shape) > 0.5).astype(jnp.float32)
+        masks = [jax.random.uniform(k, p.shape) > 0.5
                  for k, p in zip(keys, leaves)]
         return jax.tree_util.tree_unflatten(treedef, masks)
 

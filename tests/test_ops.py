@@ -71,3 +71,31 @@ def test_fused_gradient_multi_block_accumulation():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+def test_padded_head_dim_matches_reference():
+    # SD UNet head dims (40/80/160) are not 64-lane aligned; the dispatcher
+    # zero-pads D to 64 lanes and pre-scales q so the padded-D softmax scale
+    # equals the true D**-0.5 — forward and gradients must match exactly
+    for D in (40, 80):
+        q, k, v = _rand_qkv(jax.random.key(7), T=128, D=D)
+        out = attention(q, k, v, use_pallas=True, interpret=True)
+        ref = _reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_padded_head_dim_gradients():
+    q, k, v = _rand_qkv(jax.random.key(8), T=128, D=40)
+
+    def loss_pad(q, k, v):
+        return jnp.sum(attention(q, k, v, use_pallas=True,
+                                 interpret=True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_reference_attention(q, k, v) ** 2)
+
+    g_pad = jax.grad(loss_pad, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pad, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

@@ -58,7 +58,8 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
-        context = x if context is None else context
+        self_attn = context is None
+        context = x if self_attn else context
         B, T, _ = x.shape
         S = context.shape[1]
         H, D = self.heads, self.dim_head
@@ -71,11 +72,22 @@ class CrossAttention(nn.Module):
         q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, H, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, D).transpose(0, 2, 1, 3)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                          preferred_element_type=jnp.float32) * (D**-0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if self_attn and T % 128 == 0:
+            # the hot path: the 64x64-latent self-attention is T=4096 over
+            # 8 heads — exactly where keeping the (T x T) scores out of HBM
+            # pays (SD/ldm/modules/attention.py:149-303 materializes them).
+            # Cross-attn (S=77 context) stays on the einsum path: padding
+            # k/v to a 128 block would need -inf score masking for nothing
+            # — its score matrix is 53x smaller.
+            from uurg_tpu.ops.flash_attention import attention
+
+            out = attention(q, k, v)
+        else:
+            attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                              preferred_element_type=jnp.float32) * (D**-0.5)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(self.dtype), v,
+                             preferred_element_type=jnp.float32)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, T, inner)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 

@@ -184,17 +184,29 @@ fused_attention.defvjp(_fwd, _bwd)
 
 
 def attention(q, k, v, *, use_pallas: bool | None = None,
-              block_q: int = 256) -> jnp.ndarray:
+              block_q: int = 256, interpret: bool = False) -> jnp.ndarray:
     """Dispatcher: Pallas kernel on TPU, einsum elsewhere.
 
-    q, k, v: (B, H, T, D). Pallas path requires T % 128 == 0 and D >= 64
-    alignment; anything else falls back to the XLA path.
+    q, k, v: (B, H, T, D). Pallas path requires T % 128 == 0; a head dim
+    that is not 64-lane aligned (SD UNet: D = 40/80/160) is zero-padded to
+    the next multiple of 64 — padded k columns contribute zero scores,
+    padded v columns are sliced off, and q is pre-scaled by sqrt(Dp/D) so
+    the kernel's padded-D softmax scale equals the true D**-0.5. Off-TPU
+    (or T not 128-aligned, e.g. CLIP's 77 tokens) falls back to XLA.
     """
     B, H, T, D = q.shape
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu" and T % 128 == 0 and D % 64 == 0
-        )
-    if use_pallas:
-        return fused_attention(q, k, v, min(block_q, T))
-    return _reference_attention(q, k, v)
+        use_pallas = jax.default_backend() == "tpu" and T % 128 == 0
+    if not use_pallas:
+        return _reference_attention(q, k, v)
+    # keep the bwd kernel's fp32 (block_q, T) temps inside VMEM at long T
+    if T >= 4096:
+        block_q = min(block_q, 128)
+    Dp = -(-D // 64) * 64
+    if Dp == D:
+        return fused_attention(q, k, v, min(block_q, T), interpret)
+    pad = [(0, 0)] * 3 + [(0, Dp - D)]
+    q = jnp.pad(q * jnp.asarray((Dp / D) ** 0.5, q.dtype), pad)
+    k = jnp.pad(k, pad)
+    v = jnp.pad(v, pad)
+    return fused_attention(q, k, v, min(block_q, T), interpret)[..., :D]

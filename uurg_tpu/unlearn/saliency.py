@@ -10,10 +10,13 @@ Parity targets:
   global threshold from a single device-side sort instead of the reference's
   double-argsort ranking (identical mask up to ties).
 
-Masks are stored as float32 0/1 pytrees: multiplying gradients by a float
-mask fuses into the update; a bool tree would force casts inside the hot
-step. (For 675M-param DiT masks this costs 2.7GB HBM; `pack_mask` /
-`unpack_mask` provide 1-bit storage for checkpointing.)
+Masks are stored as BOOL pytrees: the grad-multiply site (core/tree.py
+tree_mul) casts into the gradient dtype, so the cast fuses into the masked
+update while the mask itself reads 1 byte/element from HBM instead of 4.
+For the 675M-param DiT-XL mask that is 675MB vs 2.7GB — the f32 form pushed
+the on-chip SFR-on step over the 16GB HBM budget (bench r3 OOM: 16.87G
+requested). ``dtype=`` restores a float mask where a caller needs arithmetic
+on it; `pack_mask` / `unpack_mask` provide 1-bit storage for checkpointing.
 """
 from __future__ import annotations
 
@@ -25,15 +28,15 @@ from uurg_tpu.core import tree as tr
 
 
 def fisher_ratio_mask(forget_fisher, remain_fisher, threshold: float,
-                      eps: float = 1e-15):
-    """Boolean saliency mask as float32 0/1 pytree."""
+                      eps: float = 1e-15, dtype=jnp.bool_):
+    """Saliency mask pytree: 1 where (F_f+eps)/(F_r+eps) >= threshold."""
     return jax.tree_util.tree_map(
-        lambda f, r: ((f + eps) / (r + eps) >= threshold).astype(jnp.float32),
+        lambda f, r: ((f + eps) / (r + eps) >= threshold).astype(dtype),
         forget_fisher, remain_fisher,
     )
 
 
-def topk_saliency_mask(grad_tree, ratio: float):
+def topk_saliency_mask(grad_tree, ratio: float, dtype=jnp.bool_):
     """1 where |g| is in the global top ``ratio`` fraction, else 0.
 
     Equivalent to the reference's argsort-of-argsort ranking: an element is
@@ -52,7 +55,7 @@ def topk_saliency_mask(grad_tree, ratio: float):
         # threshold = k-th largest value; sort once instead of ranking twice
         thresh = jnp.sort(flat)[total - k]
     masks = [
-        (jnp.abs(l.astype(jnp.float32)) >= thresh).astype(jnp.float32)
+        (jnp.abs(l.astype(jnp.float32)) >= thresh).astype(dtype)
         for l in leaves
     ]
     return jax.tree_util.tree_unflatten(treedef, masks)
@@ -79,7 +82,7 @@ def pack_mask(mask) -> dict:
 
 
 def unpack_mask(packed: dict):
-    bits = np.unpackbits(packed["packed"])[: packed["total"]].astype(np.float32)
+    bits = np.unpackbits(packed["packed"])[: packed["total"]].astype(np.bool_)
     leaves, offset = [], 0
     for shape in packed["shapes"]:
         n = int(np.prod(shape)) if shape else 1

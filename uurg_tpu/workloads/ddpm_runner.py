@@ -243,8 +243,9 @@ def sfron_forget(args, config, ckpt_dir: str,
     mask = None
     if getattr(args, "mask_path", None):
         mask = restore_checkpoint(args.mask_path, params)
+        # bool: 1 byte/elem in HBM; tree_mul casts at the multiply site
         mask = jax.tree_util.tree_map(
-            lambda m: jnp.asarray(m, jnp.float32), mask)
+            lambda m: jnp.asarray(m, jnp.bool_), mask)
 
     opt = build_reference_optimizer(config)
     sf_cfg = SFRonConfig(
