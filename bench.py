@@ -165,7 +165,9 @@ def bench_ddim50_sampling(batch=128, n_rounds=3):
 
 def bench_classification(batch=256, chunk=50, n_chunks=6):
     """ResNet-18 SFR-on device-resident scan path (the main_random.py
-    protocol engine: forget every 5 steps, fast-slow mix, BN state)."""
+    protocol engine: forget every 5 steps, fast-slow mix, BN state,
+    in-jit flip+pad-crop augmentation). bf16 compute (--dtype bf16; the
+    TPU-native configuration — params/BN stats stay f32)."""
     import numpy as np
 
     from uurg_tpu.models.resnet import ResNet18, init_classifier
@@ -176,7 +178,7 @@ def bench_classification(batch=256, chunk=50, n_chunks=6):
     from uurg_tpu.unlearn.sfron import init_state, make_sfron_scan
     from uurg_tpu.workloads.classification import Classifier
 
-    model = ResNet18()
+    model = ResNet18(dtype=jnp.bfloat16)
     params, batch_stats = init_classifier(jax.random.key(0), model)
     cls = Classifier(model)
     opt = make_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4)

@@ -30,6 +30,10 @@ def parse_args():
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str, default="results/pretrain")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "f32", "bfloat16", "bf16"],
+                   help="model compute dtype; bf16 is the TPU-native "
+                        "choice (params/BN stats stay f32)")
     return p.parse_args()
 
 
@@ -58,7 +62,9 @@ def main():
         test_ds = synthetic_dataset(512, 32, 3, args.num_classes,
                                     args.seed + 1)
 
-    model = create_model(args.model, args.num_classes)
+    dtype = (jnp.bfloat16 if args.dtype in ("bfloat16", "bf16")
+             else jnp.float32)
+    model = create_model(args.model, args.num_classes, dtype=dtype)
     cls = Classifier(model)
     params, batch_stats = init_classifier(jax.random.key(args.seed), model)
     opt = make_optimizer(args.opt, args.lr, momentum=args.momentum,

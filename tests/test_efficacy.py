@@ -78,3 +78,125 @@ def test_mia_direction(comparison_rows):
     # the attacker should not be MORE confident the forget set was a member
     # after unlearning than before
     assert by["SFRon"]["mia"] <= by["Baseline"]["mia"] + 0.05
+
+
+# --- DDPM: forget-class probe directionality ------------------------------
+
+def _ddpm_micro():
+    import jax.numpy as jnp
+
+    from uurg_tpu.core.config import Config
+    from uurg_tpu.workloads.ddpm import DDPMWorkload
+
+    cfg = Config({
+        "data": {"image_size": 16, "channels": 3, "n_classes": N_CLASSES,
+                 "rescaled": True},
+        "model": {"in_channels": 3, "out_ch": 3, "ch": 32, "ch_mult": [1, 2],
+                  "num_res_blocks": 1, "attn_resolutions": [], "dropout": 0.0,
+                  "var_type": "fixedlarge", "resamp_with_conv": True,
+                  "cond_drop_prob": 0.1},
+        "diffusion": {"beta_schedule": "linear", "beta_start": 1e-4,
+                      "beta_end": 2e-2, "num_diffusion_timesteps": 200},
+        "training": {"lambd": 0.5},
+    })
+    return DDPMWorkload.from_config(cfg, dtype=jnp.float32)
+
+
+def test_ddpm_probe_entropy_up_prob_down():
+    """The DDPM north-star directionality (DDPM/classifier_evaluation.py:
+    38-40): after SFR-on, forgotten-class-conditioned samples lose their
+    class identity (probe prob down, entropy up) while a retained class
+    keeps generating on-class."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from uurg_tpu.eval.classifier_eval import classifier_probe
+    from uurg_tpu.models.resnet import init_classifier
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+    from uurg_tpu.workloads.classification import Classifier
+
+    wl = _ddpm_micro()
+    train = synthetic_dataset(1024, 16, 3, N_CLASSES, seed=0)
+    x_all = jnp.asarray(train.images * 2.0 - 1.0)  # rescaled [-1,1]
+    c_all = jnp.asarray(train.labels.astype(np.int32))
+
+    # pretrain the tiny conditional UNet
+    params = wl.init_params(jax.random.key(0))
+    opt = optax.adam(2e-4)
+    opt_state = opt.init(params)
+    loss_fn = wl.train_loss_fn()
+
+    @jax.jit
+    def train_step(params, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    # 1200 steps: measured on this box (cond_scale 4) to be where ALL
+    # classes' samples probe >= 0.8 on-class probability (400 steps leaves
+    # late classes near chance — the probe then reads everything as class 0)
+    key = jax.random.key(1)
+    b = 64
+    for i in range(1200):
+        key, k_ix, k_loss = jax.random.split(key, 3)
+        idx = jax.random.randint(k_ix, (b,), 0, x_all.shape[0])
+        params, opt_state, loss = train_step(
+            params, opt_state, (x_all[idx], c_all[idx]), k_loss)
+
+    # probe classifier on the same data
+    probe_model = _micro_model()
+    p_params, p_stats = init_classifier(jax.random.key(2), probe_model,
+                                        resolution=16)
+    cls = Classifier(probe_model)
+    p_params, p_stats = pretrain(cls, p_params, p_stats, train, epochs=4,
+                                 lr=0.05, batch_size=128, seed=3)
+
+    sampler = jax.jit(wl.make_sampler(num_steps=10, cond_scale=4.0))
+
+    def probe(params, label):
+        x = sampler(params, jnp.full((64,), label, jnp.int32),
+                    jax.random.key(42 + label))
+        imgs = np.clip((np.asarray(x) + 1.0) / 2.0, 0, 1)
+        imgs = (imgs * 255).astype(np.uint8)
+        return classifier_probe(
+            lambda z: cls.eval_apply(p_params, p_stats, z), imgs, label,
+            resize_to=None)
+
+    pre_forget = probe(params, 0)
+    pre_retain = probe(params, 1)
+    # sanity: the pretrained DDPM generates recognizable classes
+    assert pre_forget["avg_prob_forgotten"] >= 0.5, pre_forget
+    assert pre_retain["avg_prob_forgotten"] >= 0.5, pre_retain
+
+    # SFR-on: forget class 0
+    forget_idx = np.where(train.labels == 0)[0]
+    remain_idx = np.where(train.labels != 0)[0]
+    sf_cfg = SFRonConfig(n_iters=60, forget_alpha=8.0, remain_alpha=1.0,
+                         alpha_sched="cosine", forget_clip=1.0,
+                         remain_clip=1.0)
+    step = make_sfron_step(sf_cfg, opt, wl.adaga_forget_loss_fn(),
+                           wl.train_loss_fn())
+    state = init_state(params, opt)
+    rng = np.random.default_rng(7)
+    for i in range(60):
+        fi = rng.integers(0, len(forget_idx), b)
+        ri = rng.integers(0, len(remain_idx), b)
+        key, k_step = jax.random.split(key)
+        state, _ = step(
+            state,
+            (x_all[forget_idx[fi]], c_all[forget_idx[fi]]),
+            (x_all[remain_idx[ri]], c_all[remain_idx[ri]]), k_step)
+
+    post_forget = probe(state.params, 0)
+    post_retain = probe(state.params, 1)
+
+    # directionality: forgotten class loses identity...
+    assert post_forget["avg_prob_forgotten"] <= \
+        pre_forget["avg_prob_forgotten"] * 0.5, (pre_forget, post_forget)
+    assert post_forget["avg_entropy"] >= pre_forget["avg_entropy"], \
+        (pre_forget, post_forget)
+    # ...while the retained class keeps generating on-class
+    assert post_retain["avg_prob_forgotten"] >= \
+        pre_retain["avg_prob_forgotten"] - 0.25, (pre_retain, post_retain)

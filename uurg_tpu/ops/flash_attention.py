@@ -145,6 +145,13 @@ def _fused_attention_bwd_impl(q, k, v, g, *, block_q: int, interpret: bool):
     bh = B * H
     qf, kf, vf, gf = (x.reshape(bh, T, D) for x in (q, k, v, g))
     block_q = min(block_q, T)
+    if T >= 4096:
+        # the bwd kernel holds four (block_q, T) fp32 temps (s, p, dp, ds)
+        # plus fp32 k/v casts and the dk/dv accumulators; at T=4096 and
+        # block_q=128 that lands 48KB over the 16MB VMEM scope (measured:
+        # SD-860M step compile OOM) — halve the q block only here, the fwd
+        # kernel's footprint is fine
+        block_q = min(block_q, 64)
     grid = (bh, pl.cdiv(T, block_q))
 
     qspec = pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
