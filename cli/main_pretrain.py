@@ -58,9 +58,10 @@ def main():
         test_ds = dataset_registry.get(args.dataset)(args.data_path, False)
     except FileNotFoundError:
         logging.warning("dataset not found; synthetic fallback")
-        train_ds = synthetic_dataset(2048, 32, 3, args.num_classes, args.seed)
+        train_ds = synthetic_dataset(2048, 32, 3, args.num_classes, args.seed,
+                                     base_seed=args.seed)
         test_ds = synthetic_dataset(512, 32, 3, args.num_classes,
-                                    args.seed + 1)
+                                    args.seed + 1, base_seed=args.seed)
 
     dtype = (jnp.bfloat16 if args.dtype in ("bfloat16", "bf16")
              else jnp.float32)

@@ -89,9 +89,13 @@ def main():
     except FileNotFoundError:
         logging.warning("dataset %s not found; synthetic fallback",
                         args.dataset)
-        train_ds = synthetic_dataset(2048, 32, 3, args.num_classes, args.seed)
+        # explicit base_seed on BOTH splits shares the class patterns so the
+        # held-out split measures generalization (different seed alone would
+        # generate a disjoint class distribution: test accuracy at chance)
+        train_ds = synthetic_dataset(2048, 32, 3, args.num_classes, args.seed,
+                                     base_seed=args.seed)
         test_ds = synthetic_dataset(512, 32, 3, args.num_classes,
-                                    args.seed + 1)
+                                    args.seed + 1, base_seed=args.seed)
 
     if args.forget_mode == "class":
         from uurg_tpu.data import class_forget_split

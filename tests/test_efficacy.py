@@ -29,8 +29,11 @@ def _micro_model():
 
 @pytest.fixture(scope="module")
 def comparison_rows():
-    train = synthetic_dataset(1500, 16, 3, N_CLASSES, seed=0)
-    test = synthetic_dataset(500, 16, 3, N_CLASSES, seed=1)
+    # same explicit base_seed on BOTH sides: the splits share class mean
+    # patterns (different sample draw), so held-out generalization is
+    # measurable
+    train = synthetic_dataset(1500, 16, 3, N_CLASSES, seed=0, base_seed=0)
+    test = synthetic_dataset(500, 16, 3, N_CLASSES, seed=1, base_seed=0)
     rows = run_comparison(
         _micro_model(), train, test,
         methods=("Baseline", "Retrain", "SFRon"),
@@ -47,30 +50,31 @@ def comparison_rows():
 
 
 def test_baseline_remembers(comparison_rows):
+    # accuracies are PERCENT (reference convention)
     base = next(r for r in comparison_rows if r["method"] == "Baseline")
-    assert base["forget_acc"] >= 0.95
-    assert base["retain_acc"] >= 0.95
-    assert base["test_retain_acc"] >= 0.90
+    assert base["forget_acc"] >= 95.0
+    assert base["retain_acc"] >= 95.0
+    assert base["test_retain_acc"] >= 90.0
 
 
 def test_retrain_is_exact_unlearning(comparison_rows):
     rt = next(r for r in comparison_rows if r["method"] == "Retrain")
     # never saw class 0: prediction of it can only be spurious
-    assert rt["forget_acc"] <= 0.10
-    assert rt["test_forget_acc"] <= 0.10
-    assert rt["retain_acc"] >= 0.95
+    assert rt["forget_acc"] <= 10.0
+    assert rt["test_forget_acc"] <= 10.0
+    assert rt["retain_acc"] >= 95.0
 
 
 def test_sfron_forgets_like_retrain_and_retains_like_baseline(
         comparison_rows):
-    assert_efficacy(comparison_rows, forget_floor=0.90,
-                    collapse_ceiling=0.15, retain_slack=0.06)
+    assert_efficacy(comparison_rows, forget_floor=90.0,
+                    collapse_ceiling=15.0, retain_slack=6.0)
     sf = next(r for r in comparison_rows if r["method"] == "SFRon")
     rt = next(r for r in comparison_rows if r["method"] == "Retrain")
     # forget-class generalization collapses too (full-class semantics)
-    assert sf["test_forget_acc"] <= 0.15
-    # and the gap to exact unlearning is small
-    assert abs(sf["forget_acc"] - rt["forget_acc"]) <= 0.15
+    assert sf["test_forget_acc"] <= 15.0
+    # and the gap to exact unlearning is small (percentage points)
+    assert abs(sf["forget_acc"] - rt["forget_acc"]) <= 15.0
 
 
 def test_mia_direction(comparison_rows):
@@ -170,17 +174,20 @@ def test_ddpm_probe_entropy_up_prob_down():
     assert pre_forget["avg_prob_forgotten"] >= 0.5, pre_forget
     assert pre_retain["avg_prob_forgotten"] >= 0.5, pre_retain
 
-    # SFR-on: forget class 0
+    # SFR-on: forget class 0. Recipe swept on this box: forget every 4th
+    # step with alpha 8 collapses class-0 prob to ~0.10 while class-1 keeps
+    # ~0.88 (denser forgetting — freq 1/2 — halves retain quality at this
+    # micro scale)
     forget_idx = np.where(train.labels == 0)[0]
     remain_idx = np.where(train.labels != 0)[0]
-    sf_cfg = SFRonConfig(n_iters=60, forget_alpha=8.0, remain_alpha=1.0,
-                         alpha_sched="cosine", forget_clip=1.0,
-                         remain_clip=1.0)
+    sf_cfg = SFRonConfig(n_iters=100, forget_alpha=8.0, remain_alpha=1.0,
+                         alpha_sched="cosine", forget_freq=4,
+                         forget_clip=1.0, remain_clip=1.0)
     step = make_sfron_step(sf_cfg, opt, wl.adaga_forget_loss_fn(),
                            wl.train_loss_fn())
     state = init_state(params, opt)
     rng = np.random.default_rng(7)
-    for i in range(60):
+    for i in range(100):
         fi = rng.integers(0, len(forget_idx), b)
         ri = rng.integers(0, len(remain_idx), b)
         key, k_step = jax.random.split(key)

@@ -90,3 +90,45 @@ def test_sfron_reduces_forget_accuracy_direction(ctx):
     after = cls.validate(p, bs, epoch_batches(ctx.forget_train, 32))
     assert after["loss"] > base["loss"], (
         f"forget loss should rise: {base['loss']} -> {after['loss']}")
+
+
+def test_device_batcher_crop_is_a_valid_crop():
+    """The take_along_axis pad-crop must produce, per sample, an actual
+    (h, w) window of the 4px-padded (possibly flipped) source image —
+    exhaustively checked against every (flip, oy, ox) candidate."""
+    from uurg_tpu.unlearn.methods.classification import _device_batcher
+
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (6, 8, 8, 3), np.uint8)
+    labels = np.arange(6, dtype=np.int32)
+    draw = _device_batcher(batch_size=5, augment=True)
+    x, y = jax.jit(draw)((jnp.asarray(images), jnp.asarray(labels)),
+                        jax.random.key(3))
+    x, y = np.asarray(x), np.asarray(y)
+    assert x.shape == (5, 8, 8, 3) and x.dtype == np.float32
+    pad = 4
+    for b in range(5):
+        src = images[y[b]].astype(np.float32) / 255.0
+        found = False
+        for flip in (False, True):
+            s = src[:, ::-1, :] if flip else src
+            sp = np.pad(s, ((pad, pad), (pad, pad), (0, 0)))
+            for oy in range(2 * pad + 1):
+                for ox in range(2 * pad + 1):
+                    if np.allclose(x[b], sp[oy:oy + 8, ox:ox + 8], atol=1e-6):
+                        found = True
+        assert found, f"sample {b} is not any crop of its source image"
+
+
+def test_device_batcher_no_augment_matches_source():
+    from uurg_tpu.unlearn.methods.classification import _device_batcher
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (7, 8, 8, 3), np.uint8)
+    labels = np.arange(7, dtype=np.int32)
+    draw = _device_batcher(batch_size=4, augment=False)
+    x, y = jax.jit(draw)((jnp.asarray(images), jnp.asarray(labels)),
+                        jax.random.key(0))
+    x, y = np.asarray(x), np.asarray(y)
+    np.testing.assert_allclose(
+        x, images[y].astype(np.float32) / 255.0, atol=1e-6)

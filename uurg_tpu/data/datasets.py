@@ -23,13 +23,23 @@ dataset_registry = Registry("dataset")
 
 
 def synthetic_dataset(n: int = 512, resolution: int = 32, channels: int = 3,
-                      n_classes: int = 10, seed: int = 0) -> ArrayDataset:
+                      n_classes: int = 10, seed: int = 0,
+                      base_seed: int | None = None) -> ArrayDataset:
     """Class-structured fake images: each class has a distinct mean pattern
-    so unlearning/eval logic is actually exercised."""
+    so unlearning/eval logic is actually exercised.
+
+    ``base_seed`` fixes the per-class mean patterns independently of the
+    sample draw: a train/test pair generated with different ``seed`` but
+    the SAME explicit ``base_seed`` (pass it on BOTH sides) shares one
+    class distribution, so generalization is measurable. With
+    ``base_seed=None`` the patterns come from the label-advanced ``seed``
+    stream (legacy behavior, kept bit-stable) — two splits that differ in
+    ``seed`` are then mutually unlearnable."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, n).astype(np.int64)
-    base = rng.random((n_classes, resolution, resolution, channels)).astype(
-        np.float32)
+    base_rng = rng if base_seed is None else np.random.default_rng(base_seed)
+    base = base_rng.random(
+        (n_classes, resolution, resolution, channels)).astype(np.float32)
     noise = rng.normal(0, 0.1, (n, resolution, resolution, channels))
     images = np.clip(base[labels] + noise.astype(np.float32), 0, 1)
     return ArrayDataset(images, labels)

@@ -76,8 +76,8 @@ class SelfAttention2D(nn.Module):
     """Single-head spatial self-attention over H*W positions.
 
     Parity: DDPM/models/diffusion.py:148-192 (1x1 q/k/v projections,
-    1/sqrt(C) scaling, residual). QK^T/softmax/AV run as batched matmuls in
-    float32 on the MXU.
+    1/sqrt(C) scaling, residual). Runs through the fused Pallas attention
+    (fp32 softmax in VMEM) where T is 128-aligned; XLA einsums elsewhere.
     """
 
     dtype: Dtype = jnp.float32
@@ -89,12 +89,14 @@ class SelfAttention2D(nn.Module):
         q = nn.Dense(C, dtype=self.dtype, name="q")(h).reshape(B, H * W, C)
         k = nn.Dense(C, dtype=self.dtype, name="k")(h).reshape(B, H * W, C)
         v = nn.Dense(C, dtype=self.dtype, name="v")(h).reshape(B, H * W, C)
-        attn = jnp.einsum("bqc,bkc->bqk", q, k,
-                          preferred_element_type=jnp.float32)
-        attn = attn * (C ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bqk,bkc->bqc", attn.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32)
+        # single head -> (B, 1, T, C). On TPU with T % 128 == 0 (the 16x16
+        # sites: T=256) this runs the fused Pallas kernel — the fp32
+        # (T x T) score/prob matrices stay in VMEM instead of being
+        # written to HBM between fwd and bwd; the 4x4 mid site (T=16)
+        # falls back to the einsum path inside the dispatcher.
+        from uurg_tpu.ops.flash_attention import attention
+
+        out = attention(q[:, None], k[:, None], v[:, None])[:, 0]
         out = out.astype(self.dtype).reshape(B, H, W, C)
         out = nn.Dense(C, dtype=self.dtype, name="proj_out")(out)
         return x + out

@@ -72,12 +72,18 @@ def _device_batcher(batch_size: int, augment: bool = True):
             flip = jax.random.bernoulli(k_flip, 0.5, (batch_size,))
             x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
             pad = 4
-            h, w, c = x.shape[1:]
+            h, w, _ = x.shape[1:]
             xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
             oy = jax.random.randint(k_cy, (batch_size,), 0, 2 * pad + 1)
             ox = jax.random.randint(k_cx, (batch_size,), 0, 2 * pad + 1)
-            x = jax.vmap(lambda img, a, b: jax.lax.dynamic_slice(
-                img, (a, b, 0), (h, w, c)))(xp, oy, ox)
+            # per-sample crop as two axis-aligned take_along_axis gathers:
+            # measured 104 it/s vs 70 for vmap(dynamic_slice) on this step
+            # (the vmapped slice lowers to a scalar-offset gather per
+            # sample; structured row/col gathers vectorize)
+            rows = oy[:, None] + jnp.arange(h)[None, :]
+            cols = ox[:, None] + jnp.arange(w)[None, :]
+            x = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
+            x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
         return x, labels[idx]
 
     return draw
@@ -475,7 +481,7 @@ def sfron(ctx: UnlearnContext, key=None):
     # uploaded ONCE and every batch is drawn, converted and augmented
     # IN-JIT, with scan_chunk steps per dispatch. This removes the
     # per-batch host->device transfers that otherwise bound the loop at
-    # ~3-7 it/s through a high-latency link (device step rate: 633 it/s).
+    # ~3-7 it/s through a high-latency link (device rate: ~110 it/s bf16).
     # Augmentation (flip + pad-crop) runs on device; its random stream
     # therefore differs from the host transform (stochasticity, not
     # semantics). Disable with overrides={'device_data': False}.

@@ -176,16 +176,18 @@ def run_comparison(model, train_ds: ArrayDataset, test_ds: ArrayDataset,
     return rows
 
 
-def assert_efficacy(rows: list[dict], *, forget_floor: float = 0.85,
-                    collapse_ceiling: float = 0.25,
-                    retain_slack: float = 0.08) -> None:
+def assert_efficacy(rows: list[dict], *, forget_floor: float = 85.0,
+                    collapse_ceiling: float = 25.0,
+                    retain_slack: float = 8.0) -> None:
     """Directionality gate over a Baseline/Retrain/<methods> comparison.
 
+    Accuracies are PERCENT (0-100, the reference's convention —
+    workloads/classification.py accuracy()); MIA is a fraction in [0, 1].
     Asserts the unlearning actually unlearned: Baseline remembers the forget
     split (acc >= forget_floor); every other method collapses forget accuracy
     toward Retrain's (<= collapse_ceiling) while holding retain accuracy
-    within ``retain_slack`` of Baseline; MIA does not exceed Baseline's.
-    Raises AssertionError with the offending numbers."""
+    within ``retain_slack`` percentage points of Baseline; MIA does not
+    exceed Baseline's. Raises AssertionError with the offending numbers."""
     by = {r["method"]: r for r in rows}
     base = by.pop("Baseline")
     assert base["forget_acc"] >= forget_floor, \

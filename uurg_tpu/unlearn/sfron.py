@@ -269,7 +269,8 @@ def make_sfron_scan(cfg, optimizer, forget_loss_fn, remain_loss_fn,
     Why: a host loop pays a host-to-device transfer per batch; through a
     high-latency, low-bandwidth link (remote-TPU tunnel, DCN-fed pods)
     that bounds throughput far below the device step rate (measured 3-7
-    it/s vs 633 it/s device-only on the classification workload).
+    it/s host-loop vs ~110 it/s device-resident on the classification
+    workload, bf16).
 
     Two modes:
     - ``device_batcher=None``: consume pre-stacked batch chunks of shape
