@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument("--weight_decay", type=float, default=5e-4)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str, default="results/pretrain")
+    p.add_argument("--torch_init", type=str, default=None,
+                   help="locally-supplied torchvision/reference .pth to "
+                        "initialize the backbone from (the reference's "
+                        "weights='DEFAULT' equivalent; head re-initialized "
+                        "on shape mismatch)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "f32", "bfloat16", "bf16"],
                    help="model compute dtype; bf16 is the TPU-native "
@@ -68,6 +73,14 @@ def main():
     model = create_model(args.model, args.num_classes, dtype=dtype)
     cls = Classifier(model)
     params, batch_stats = init_classifier(jax.random.key(args.seed), model)
+    if args.torch_init:
+        from uurg_tpu.io.torch_classifier import (load_torch_classifier,
+                                                  overlay_pretrained)
+        t_params, t_stats = load_torch_classifier(args.torch_init, args.model)
+        params = overlay_pretrained(params, t_params, "params")
+        if t_stats:
+            batch_stats = overlay_pretrained(batch_stats, t_stats,
+                                             "batch_stats")
     opt = make_optimizer(args.opt, args.lr, momentum=args.momentum,
                          weight_decay=args.weight_decay)
     train_step = cls.make_train_step(opt)

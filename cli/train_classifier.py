@@ -23,6 +23,10 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str,
                    default="results/ua_classifier")
+    p.add_argument("--torch_init", type=str, default=None,
+                   help="locally-supplied torchvision ResNet-34 .pth to "
+                        "start fine-tuning from (the reference probe uses "
+                        "pretrained=True, DDPM/train_classifier.py)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
 
@@ -49,6 +53,12 @@ def main():
     cls = Classifier(model)
     params, batch_stats = init_classifier(
         jax.random.key(args.seed), model, resolution=args.image_size)
+    if args.torch_init:
+        from uurg_tpu.io.torch_classifier import (load_torch_classifier,
+                                                  overlay_pretrained)
+        t_params, t_stats = load_torch_classifier(args.torch_init, "ResNet34")
+        params = overlay_pretrained(params, t_params, "params")
+        batch_stats = overlay_pretrained(batch_stats, t_stats, "batch_stats")
     opt = make_optimizer("adamw", args.lr, weight_decay=1e-4)
     train_step = cls.make_train_step(opt)
     opt_state = jax.jit(opt.init)(params)

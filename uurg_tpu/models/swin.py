@@ -113,7 +113,8 @@ class SwinBlock(nn.Module):
 
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(int(C * self.mlp_ratio), dtype=self.dtype, name="fc1")(h)
-        h = jax.nn.gelu(h)
+        # exact erf GELU to match torchvision Swin (io/tv_vit_swin_interop.py)
+        h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(C, dtype=self.dtype, name="fc2")(h)
         return x + h
 

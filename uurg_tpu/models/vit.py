@@ -45,7 +45,10 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32, name="ln2")(x)
         h = nn.Dense(int(self.hidden * self.mlp_ratio), dtype=self.dtype,
                      name="fc1")(h)
-        h = jax.nn.gelu(h)
+        # exact erf GELU: torchvision's encoder uses nn.GELU() (erf form),
+        # and checkpoint interop (io/tv_vit_swin_interop.py) is bit-faithful
+        # only if activations match
+        h = jax.nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(h)
         return x + h
