@@ -31,3 +31,42 @@ def test_sfron_resume_continues_from_saved_step(tmp_path, monkeypatch):
     a = jax.tree_util.tree_leaves(state1.params)[0]
     b = jax.tree_util.tree_leaves(state2.params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_load_params_accepts_run_dir_and_ckpts_dir(tmp_path, monkeypatch):
+    """--ckpt_folder may point at the run dir root (reference semantics),
+    the ckpts/ subdir, or the Orbax ckpt dir itself — all must resolve to
+    the same saved params (regression: run-dir root silently fell back to
+    fresh init)."""
+    import jax
+    import numpy as np
+
+    from uurg_tpu.workloads.ddpm import DDPMWorkload
+
+    monkeypatch.setattr(R, "_load_train_dataset",
+                        lambda a, c: synthetic_dataset(64, 8, 3, 4))
+    args = _args(tmp_path)
+    cfg = TINY_CFG.replace()
+    cfg.training.n_iters = 2
+    run_dir = tmp_path / "run"
+    ckpt_dir = str(run_dir / "ckpts")
+    cfg.ckpt_dir = ckpt_dir
+    R.sfron_forget(args, cfg, ckpt_dir)
+
+    wl = DDPMWorkload.from_config(cfg)
+    ref = None
+    for candidate in (str(run_dir), ckpt_dir, str(run_dir / "ckpts" / "ckpt")):
+        args.ckpt_folder = candidate
+        params = R.load_params(args, cfg, wl)
+        leaf = np.asarray(jax.tree_util.tree_leaves(params)[0])
+        if ref is None:
+            ref = leaf
+        else:
+            np.testing.assert_array_equal(leaf, ref)
+
+    # missing dir still falls back to fresh init (warns, no crash)
+    args.ckpt_folder = str(tmp_path / "nonexistent")
+    fresh = R.load_params(args, cfg, wl)
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(fresh)[0]), ref)

@@ -157,8 +157,15 @@ def load_params(args, config, wl: DDPMWorkload, use_ema: bool = False):
         params = loaded["ema_params"] if (use_ema and loaded["ema_params"]) \
             else loaded["params"]
         return jax.tree_util.tree_map(jnp.asarray, params)
-    orbax_path = os.path.join(path, "ckpt")
-    if not os.path.exists(orbax_path):
+    # runs save to <run_dir>/ckpts/ckpt (save_snapshot); also accept a
+    # directly-passed ckpts dir or a bare ckpt dir
+    candidates = [os.path.join(path, "ckpts", "ckpt"),
+                  os.path.join(path, "ckpt"), path]
+    orbax_path = next(
+        (p for p in candidates
+         if os.path.exists(os.path.join(p, "_CHECKPOINT_METADATA"))
+         or os.path.exists(os.path.join(p, "manifest.ocdbt"))), None)
+    if orbax_path is None:
         log.warning("no checkpoint under %s — initializing fresh params",
                     path)
         return wl.init_params(jax.random.key(args.seed))
