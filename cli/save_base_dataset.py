@@ -32,7 +32,7 @@ def main():
         logging.warning("CIFAR-10 not found under %s — synthetic fallback "
                         "(same distribution the smoke-train runners use)",
                         args.data_path)
-        ds = synthetic_dataset(2048, 32, 3, 10)
+        ds = synthetic_dataset(2048, 32, 3, 10, base_seed=0)
         ds.images = (ds.images * 255).round().astype(np.uint8)
     remain, _ = class_forget_split(ds, args.label_to_forget)
     out = args.out or f"cifar10_without_label_{args.label_to_forget}"

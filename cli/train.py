@@ -99,7 +99,21 @@ def main():
 
     def sample_hook(state, step_idx):
         """Snapshot sample grid (diffusion.py:874-928 sample_visualization):
-        one row per class from the EMA params, written under logs/."""
+        one row per class from the EMA params, written under logs/.
+
+        Fault-isolated: a failure here (e.g. a transient remote-compile
+        relay error) loses one cosmetic grid, never the training run —
+        the reference wraps its modes in the same broad guard
+        (DDPM/train.py:147-171)."""
+        try:
+            _sample_grid(state, step_idx)
+        except Exception:  # noqa: BLE001 — cosmetic path, log and continue
+            import traceback
+            logging.getLogger("uurg.train").warning(
+                "snapshot grid at step %d failed (continuing):\n%s",
+                step_idx, traceback.format_exc())
+
+    def _sample_grid(state, step_idx):
         import numpy as np
 
         from uurg_tpu.utils.images import save_grid

@@ -46,7 +46,10 @@ def main():
         train_ds = dataset_registry.get(args.dataset)(args.data_path, True)
     except FileNotFoundError:
         logging.warning("dataset missing — synthetic fallback")
-        train_ds = synthetic_dataset(512, 32, 3, args.num_classes)
+        # base_seed=0 matches the DDPM runner's synthetic fallback so the
+        # probe actually recognizes generated classes (ddpm_runner.py:55)
+        train_ds = synthetic_dataset(2048, 32, 3, args.num_classes,
+                                     base_seed=0)
 
     model = ResNet([3, 4, 6, 3], BasicBlock, args.num_classes,
                    imagenet_stem=True, dtype=jnp.bfloat16)

@@ -32,13 +32,17 @@ PRE=$(ls -d $EXP/cifar10/pretrain/* | head -1)
 python cli/train.py --config configs/cifar10_fisher.yml \
     --mode generate_fisher --exp $EXP --ckpt_folder "$PRE" \
     --label_to_forget 0 --threshold 1.0
-FISHER=$(ls -d $EXP/cifar10/fisher/* | head -1)
+# fisher ratio mask is written next to the source checkpoint
+# (mask_<label>/fisher_<threshold>, reference generate_fisher_mask.py layout)
+MASK=$PRE/mask_0/fisher_1.0
 
 python cli/train.py --config configs/cifar10_sfron.yml --mode sfron \
     --exp $EXP --ckpt_folder "$PRE" --label_to_forget 0 \
     --forget_alpha 10.0 --decay_forget_alpha --remain_alpha 1.0 \
-    --method ron --unlearn_loss adaga --mask_path "$FISHER/fisher_1.0"
-SFRON=$(ls -d $EXP/cifar10/sfron/* | head -1)
+    --method ron --unlearn_loss adaga --mask_path "$MASK"
+# sfron run dirs use the reference hyperparam encoding:
+# <exp>/cifar10/forget_<label>/<method>_<loss><lambd>/f<alpha>..._r..._lr.../<ts>
+SFRON=$(ls -dt $EXP/cifar10/forget_0/*/*/* | head -1)
 
 # class-0-conditioned samples from both models
 python cli/sample.py --config configs/cifar10_sample.yml \

@@ -30,9 +30,39 @@ def save_checkpoint(path: str, tree: Any, metadata: dict | None = None) -> None:
             json.dump(metadata, f, indent=2, default=str)
 
 
+def is_checkpoint_dir(path: str) -> bool:
+    return (os.path.exists(os.path.join(path, "_CHECKPOINT_METADATA"))
+            or os.path.exists(os.path.join(path, "manifest.ocdbt")))
+
+
+def resolve_checkpoint_dir(path: str) -> str:
+    """Resolve a user-supplied path to the actual Orbax checkpoint dir.
+
+    Accepts the checkpoint dir itself, a run dir containing ``ckpts/ckpt``
+    or ``ckpt``, or a parent dir holding exactly one checkpoint subdir (the
+    ``--save_path`` of the train CLIs). Returns ``path`` unchanged when
+    nothing matches, so the downstream Orbax error names the original
+    argument."""
+    if is_checkpoint_dir(path):
+        return path
+    for sub in ("ckpts/ckpt", "ckpt"):
+        cand = os.path.join(path, sub)
+        if is_checkpoint_dir(cand):
+            return cand
+    if os.path.isdir(path):
+        subs = [os.path.join(path, d) for d in sorted(os.listdir(path))]
+        ckpts = [s for s in subs if os.path.isdir(s) and is_checkpoint_dir(s)]
+        if len(ckpts) == 1:
+            return ckpts[0]
+    return path
+
+
 def restore_checkpoint(path: str, target: Any | None = None) -> Any:
-    """Restore; ``target`` (a pytree of like-shaped arrays) guides structure."""
-    path = os.path.abspath(path)
+    """Restore; ``target`` (a pytree of like-shaped arrays) guides structure.
+
+    ``path`` may be the checkpoint dir or any of the containing layouts
+    ``resolve_checkpoint_dir`` understands."""
+    path = resolve_checkpoint_dir(os.path.abspath(path))
     ckptr = ocp.StandardCheckpointer()
     if target is not None:
         host_target = jax.tree_util.tree_map(np.asarray,

@@ -52,8 +52,13 @@ def _load_train_dataset(args, config) -> ArrayDataset:
         except FileNotFoundError:
             log.warning("CIFAR-10 not found under %s — synthetic fallback",
                         config.data.get("path"))
+    # explicit base_seed: every DDPM-protocol fallback (train, probe
+    # classifier, base-dataset export) must share ONE class-pattern set —
+    # with base_seed=None the patterns depend on n, so differently-sized
+    # fallbacks silently diverge and cross-model probes read noise
     return synthetic_dataset(2048, config.data.image_size,
-                             config.data.channels, config.data.n_classes)
+                             config.data.channels, config.data.n_classes,
+                             base_seed=0)
 
 
 def _flip(config):
@@ -157,15 +162,12 @@ def load_params(args, config, wl: DDPMWorkload, use_ema: bool = False):
         params = loaded["ema_params"] if (use_ema and loaded["ema_params"]) \
             else loaded["params"]
         return jax.tree_util.tree_map(jnp.asarray, params)
-    # runs save to <run_dir>/ckpts/ckpt (save_snapshot); also accept a
-    # directly-passed ckpts dir or a bare ckpt dir
-    candidates = [os.path.join(path, "ckpts", "ckpt"),
-                  os.path.join(path, "ckpt"), path]
-    orbax_path = next(
-        (p for p in candidates
-         if os.path.exists(os.path.join(p, "_CHECKPOINT_METADATA"))
-         or os.path.exists(os.path.join(p, "manifest.ocdbt"))), None)
-    if orbax_path is None:
+    # runs save to <run_dir>/ckpts/ckpt; accept any layout the shared
+    # resolver understands (run dir, ckpts dir, bare ckpt dir)
+    from uurg_tpu.io.checkpoint import is_checkpoint_dir, resolve_checkpoint_dir
+
+    orbax_path = resolve_checkpoint_dir(path)
+    if not is_checkpoint_dir(orbax_path):
         log.warning("no checkpoint under %s — initializing fresh params",
                     path)
         return wl.init_params(jax.random.key(args.seed))
