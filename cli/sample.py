@@ -44,7 +44,11 @@ def parse_args():
     p.add_argument("--eta", type=float, default=0.0)
     p.add_argument("--sequence", action="store_true",
                    help="accepted for reference parity")
-    p.add_argument("--use_ema", action="store_true", default=True)
+    # EMA params by default (the reference samples the EMA shadow,
+    # DDPM/runners/diffusion.py:618-637); --no_ema samples the raw params —
+    # needed for short runs where the 0.9999-rate EMA is still ~init
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--out", type=str, default="")
     return p.parse_args()

@@ -23,6 +23,11 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str,
                    default="results/ua_classifier")
+    p.add_argument("--noise_std", type=float, default=0.0,
+                   help="Gaussian pixel-noise augmentation; makes the probe "
+                        "robust to generative-sample artifacts (the "
+                        "reference probe gets this robustness from "
+                        "fine-tuning on real data at 224px)")
     p.add_argument("--torch_init", type=str, default=None,
                    help="locally-supplied torchvision ResNet-34 .pth to "
                         "start fine-tuning from (the reference probe uses "
@@ -70,9 +75,16 @@ def main():
     carry = (params, batch_stats, opt_state, jnp.zeros((), jnp.int32))
     key = jax.random.key(args.seed)
     for epoch in range(args.epochs):
+        def aug(x, rng):
+            x = random_flip_batch(x, rng)
+            if args.noise_std > 0:
+                x = np.clip(
+                    x + rng.normal(0, args.noise_std, x.shape)
+                    .astype(np.float32), 0.0, 1.0)
+            return x
+
         it = infinite_batches(train_ds, args.batch_size,
-                              seed=args.seed + epoch,
-                              transform=random_flip_batch)
+                              seed=args.seed + epoch, transform=aug)
         for _ in range(steps_per_epoch):
             x, y = next(it)
             x224 = resize_batch((x * 255).astype(np.uint8), args.image_size)

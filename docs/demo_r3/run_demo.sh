@@ -26,7 +26,7 @@ cp $EXP/classification/results.csv docs/demo_r3/classification_results.csv
 
 # ---- Part B: DDPM ----------------------------------------------------------
 python cli/train.py --config configs/cifar10_pretrain.yml --mode pretrain \
-    --exp $EXP --n_iters 2000
+    --exp $EXP --n_iters 8000
 PRE=$(ls -d $EXP/cifar10/pretrain/* | head -1)
 
 python cli/train.py --config configs/cifar10_fisher.yml \
@@ -44,17 +44,21 @@ python cli/train.py --config configs/cifar10_sfron.yml --mode sfron \
 # <exp>/cifar10/forget_<label>/<method>_<loss><lambd>/f<alpha>..._r..._lr.../<ts>
 SFRON=$(ls -dt $EXP/cifar10/forget_0/*/*/* | head -1)
 
-# class-0-conditioned samples from both models
+# class-0-conditioned samples from both models. --no-use_ema: the reference
+# samples the EMA shadow after 800k iters; at this demo's 2000 iters the
+# 0.9999-rate EMA is still ~82% random init, so sample the raw params.
 python cli/sample.py --config configs/cifar10_sample.yml \
     --mode sample_one_class --class_label 0 --ckpt_folder "$PRE" \
-    --n_samples_per_class 256 --out $EXP/samples_pretrain_c0
+    --n_samples_per_class 256 --no-use_ema --out $EXP/samples_pretrain_c0
 python cli/sample.py --config configs/cifar10_sample.yml \
     --mode sample_one_class --class_label 0 --ckpt_folder "$SFRON" \
-    --n_samples_per_class 256 --out $EXP/samples_sfron_c0
+    --n_samples_per_class 256 --no-use_ema --out $EXP/samples_sfron_c0
 
-# probe classifier on the same (synthetic) train data, then both rows
-python cli/train_classifier.py --epochs 3 --image_size 32 \
-    --save_path $EXP/probe
+# probe classifier on the same (synthetic) train data, then both rows.
+# noise_std hardens the probe against generative-sample fuzz (the reference
+# probe gets the equivalent robustness from 224px real-data fine-tuning).
+python cli/train_classifier.py --epochs 5 --image_size 32 \
+    --noise_std 0.05 --save_path $EXP/probe
 python cli/classifier_evaluation.py $EXP/samples_pretrain_c0 \
     --classifier_ckpt $EXP/probe --label_of_forgotten_class 0 \
     --csv docs/demo_r3/ddpm_probe.csv
