@@ -70,3 +70,33 @@ def test_load_params_accepts_run_dir_and_ckpts_dir(tmp_path, monkeypatch):
     fresh = R.load_params(args, cfg, wl)
     assert not np.array_equal(
         np.asarray(jax.tree_util.tree_leaves(fresh)[0]), ref)
+
+
+def test_resolve_checkpoint_dir_layouts(tmp_path):
+    """Fast unit check of the shared resolver (io/checkpoint.py): checkpoint
+    dir itself, run dir with ckpts/ckpt, save_path parent with exactly one
+    checkpoint subdir, and a no-match passthrough."""
+    from uurg_tpu.io.checkpoint import resolve_checkpoint_dir
+
+    def mk_ckpt(p):
+        p.mkdir(parents=True)
+        (p / "_CHECKPOINT_METADATA").write_text("{}")
+        return str(p)
+
+    direct = mk_ckpt(tmp_path / "a" / "ckpt_dir")
+    assert resolve_checkpoint_dir(direct) == direct
+
+    run = tmp_path / "run"
+    nested = mk_ckpt(run / "ckpts" / "ckpt")
+    assert resolve_checkpoint_dir(str(run)) == nested
+
+    parent = tmp_path / "probe"
+    single = mk_ckpt(parent / "cifar10_resnet34")
+    assert resolve_checkpoint_dir(str(parent)) == single
+
+    # two checkpoint subdirs: ambiguous, passthrough unchanged
+    mk_ckpt(parent / "second")
+    assert resolve_checkpoint_dir(str(parent)) == str(parent)
+
+    missing = str(tmp_path / "nope")
+    assert resolve_checkpoint_dir(missing) == missing
