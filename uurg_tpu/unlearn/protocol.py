@@ -146,6 +146,7 @@ def run_comparison(model, train_ds: ArrayDataset, test_ds: ArrayDataset,
                                resolution=train_ds.images.shape[1])
 
     rows = []
+    forget_probs: dict[str, np.ndarray] = {}
     for name in methods:
         method = unlearn_method_registry.get(name)
         ctx = UnlearnContext(
@@ -160,10 +161,23 @@ def run_comparison(model, train_ds: ArrayDataset, test_ds: ArrayDataset,
         row.update(evaluate(cls, u_params, u_bs, retain, forget, test_ds,
                             batch_size=batch_size,
                             label_to_forget=probe_label))
+        fp, _ = cls.collect_logits(u_params, u_bs,
+                                   epoch_batches(forget, batch_size))
+        forget_probs[name] = softmax(fp)
         log.info("%s: %s", name,
                  {k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in row.items()})
         rows.append(row)
+
+    # JS divergence on the forget set vs the retrained model — the
+    # reference's third comparison metric (Classification/main_random.py
+    # js divergence, evaluation/js_div.py:17-29). Only defined when Retrain
+    # itself is part of the comparison.
+    if "Retrain" in forget_probs:
+        from uurg_tpu.eval.js_div import get_js_divergence
+        for row in rows:
+            row["js_div"] = get_js_divergence(
+                forget_probs[row["method"]], forget_probs["Retrain"])
 
     if csv_path:
         os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
@@ -208,3 +222,9 @@ def assert_efficacy(rows: list[dict], *, forget_floor: float = 85.0,
                  f"{r['test_retain_acc']:.3f} vs {base['test_retain_acc']:.3f}")
         assert r["mia"] <= base["mia"] + 0.05, \
             (f"{name} MIA {r['mia']:.3f} above Baseline {base['mia']:.3f}")
+        if "js_div" in r and "js_div" in base and name != "Retrain":
+            # unlearned output distribution on the forget set should sit
+            # closer to Retrain's than Baseline's does
+            assert r["js_div"] <= base["js_div"] + 1e-6, \
+                (f"{name} js_div {r['js_div']:.4f} above Baseline "
+                 f"{base['js_div']:.4f}")
