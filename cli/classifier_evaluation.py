@@ -21,6 +21,11 @@ def main():
     p.add_argument("--label_of_forgotten_class", type=int, default=0)
     p.add_argument("--num_classes", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--image_size", type=int, default=224,
+                   help="resolution samples are resized to before the probe "
+                        "— MUST match the probe's training resolution "
+                        "(224 for the reference's fine-tuned ResNet-34, "
+                        "train_classifier.py --image_size otherwise)")
     p.add_argument("--csv", type=str,
                    default="results/cifar10/forget/result.csv")
     args = p.parse_args()
@@ -41,7 +46,7 @@ def main():
                    imagenet_stem=True, dtype=jnp.bfloat16)
     cls = Classifier(model)
     params, batch_stats = init_classifier(jax.random.key(0), model,
-                                          resolution=224)
+                                          resolution=args.image_size)
     ck = restore_checkpoint(args.classifier_ckpt,
                             {"params": params, "batch_stats": batch_stats})
     logits_fn = jax.jit(
@@ -50,7 +55,7 @@ def main():
     images = load_images(args.sample_path)
     metrics = classifier_probe(logits_fn, images,
                                args.label_of_forgotten_class,
-                               args.batch_size)
+                               args.batch_size, resize_to=args.image_size)
     print("Average entropy:", metrics["avg_entropy"])
     print("Average prob of forgotten class:", metrics["avg_prob_forgotten"])
     print("Forget accuracy (UA):", metrics["forget_accuracy"])

@@ -59,11 +59,13 @@ python cli/sample.py --config configs/cifar10_sample.yml \
 # probe gets the equivalent robustness from 224px real-data fine-tuning).
 python cli/train_classifier.py --epochs 5 --image_size 32 \
     --noise_std 0.05 --save_path $EXP/probe
+# --image_size MUST match the probe's training resolution (32 here; the
+# reference's fine-tuned ResNet-34 uses the 224 default)
 python cli/classifier_evaluation.py $EXP/samples_pretrain_c0 \
     --classifier_ckpt $EXP/probe --label_of_forgotten_class 0 \
-    --csv docs/demo_r3/ddpm_probe.csv
+    --image_size 32 --csv docs/demo_r3/ddpm_probe.csv
 python cli/classifier_evaluation.py $EXP/samples_sfron_c0 \
     --classifier_ckpt $EXP/probe --label_of_forgotten_class 0 \
-    --csv docs/demo_r3/ddpm_probe.csv
+    --image_size 32 --csv docs/demo_r3/ddpm_probe.csv
 
 echo "demo artifacts: docs/demo_r3/classification_results.csv, ddpm_probe.csv"
