@@ -10,3 +10,12 @@ from uurg_tpu.diffusion.losses import (
     cosine_alpha_decay,
 )
 from uurg_tpu.diffusion import sampling
+from uurg_tpu.diffusion.timestep_sampler import (
+    LossSecondMomentState,
+    init_loss_second_moment,
+    sampler_weights,
+    sample_timesteps,
+    update_with_all_losses,
+    update_with_local_losses,
+    uniform_timesteps,
+)

@@ -60,6 +60,33 @@ class DiTWorkload:
             return self._per_sample_loss(params, batch, rng).mean()
         return fn
 
+    def train_loss_with_sampler_fn(self, uniform_prob: float = 0.001
+                                   ) -> Callable:
+        """Loss-second-moment resampled training loss (the ADM library's
+        loss-aware sampler, DiT/diffusion/timestep_sampler.py:120-150,
+        surfaced here as a has-aux loss).
+
+        Signature: ``fn(params, batch, rng, sampler_state) ->
+        (loss, new_sampler_state)`` — the importance-weighted per-sample
+        mean plus the updated jit-carried ring-buffer state.
+        """
+        from uurg_tpu.diffusion.timestep_sampler import (
+            sample_timesteps, update_with_all_losses)
+
+        def fn(params, batch, rng, sampler_state):
+            x, y = batch
+            k_t, k_n = jax.random.split(rng)
+            t, w = sample_timesteps(sampler_state, k_t, x.shape[0],
+                                    uniform_prob)
+            per = self.diffusion.training_losses(
+                self._model_fn(params, y, train=True), x, t, k_n,
+                keepdim=True)
+            new_state = update_with_all_losses(
+                sampler_state, t, jax.lax.stop_gradient(per))
+            return (w * per).mean(), new_state
+
+        return fn
+
     def ga_forget_loss_fn(self) -> Callable:
         """-mean(training_losses) (DiT/forget.py:269-272)."""
         def fn(params, batch, rng):
