@@ -1,0 +1,125 @@
+"""Tensor-parallel sharding: rule-based specs + numeric equivalence.
+
+Beyond-reference surface (SURVEY §2.5 marks TP absent in the reference —
+its only parallelism is torch DataParallel): Megatron-style column/row
+partition specs for the DiT blocks, with pjit inserting the collectives.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from uurg_tpu.parallel import (
+    DIT_TP_RULES,
+    make_mesh,
+    shard_batch,
+    shard_params_tp,
+    tp_param_specs,
+)
+
+
+def _tiny_dit(depth=2, hidden=None):
+    from uurg_tpu.models.dit import build_dit
+
+    model, cfg = build_dit("DiT-S/2", input_size=8, num_classes=10,
+                           depth=depth, dtype=jnp.float32)
+    x = jnp.zeros((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    y = jnp.zeros((1,), jnp.int32)
+    params = model.init({"params": jax.random.key(0)}, x, t, y)["params"]
+    return model, cfg, params
+
+
+def test_dit_tp_spec_assignment():
+    _, _, params = _tiny_dit()
+    mesh = make_mesh({"data": 2, "model": 4})
+    specs = tp_param_specs(params, mesh, DIT_TP_RULES)
+
+    blocks = specs["blocks"]
+    # column-parallel: output-features dim sharded (scan layout: rank 3)
+    assert blocks["attn"]["qkv"]["kernel"] == P(None, None, "model")
+    assert blocks["attn"]["qkv"]["bias"] == P(None, "model")
+    assert blocks["mlp_fc1"]["kernel"] == P(None, None, "model")
+    assert blocks["adaLN_modulation"]["kernel"] == P(None, None, "model")
+    # row-parallel: input-features dim sharded
+    assert blocks["attn"]["proj"]["kernel"] == P(None, "model", None)
+    assert blocks["mlp_fc2"]["kernel"] == P(None, "model", None)
+    # row-parallel biases and everything outside the blocks: replicated
+    assert blocks["attn"]["proj"]["bias"] == P()
+    assert specs["patch_embed"]["kernel"] == P()
+    assert specs["y_embed"]["embedding"] == P()
+
+
+def test_tp_indivisible_dim_falls_back():
+    mesh = make_mesh({"data": 2, "model": 4})
+    params = {"attn": {"qkv": {"kernel": jnp.zeros((6, 6))}}}  # 6 % 4 != 0
+    specs = tp_param_specs(params, mesh, DIT_TP_RULES)
+    assert specs["attn"]["qkv"]["kernel"] == P()
+
+
+def test_tp_fsdp_fallback_for_unmatched():
+    mesh = make_mesh({"data": 2, "model": 4})
+    params = {"patch_embed": {"kernel": jnp.zeros((256, 256))}}
+    specs = tp_param_specs(params, mesh, DIT_TP_RULES, fallback="fsdp",
+                           fsdp_min_size=64)
+    assert specs["patch_embed"]["kernel"] == P("model", None)
+
+
+def test_dit_tp_forward_matches_single_device():
+    model, _, params = _tiny_dit()
+    x = jax.random.normal(jax.random.key(1), (8, 8, 8, 4))
+    t = jnp.zeros((8,), jnp.int32)
+    y = jnp.zeros((8,), jnp.int32)
+    ref = model.apply({"params": params}, x, t, y)
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    params_s = shard_params_tp(params, mesh)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda p, xx: model.apply({"params": p}, xx, t, y))(
+        params_s, xs)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_dit_sfron_step_tp_equivalence():
+    """Full SFR-on two-phase step under (data=2, model=4) TP matches
+    single-device numerics — the dp x tp analogue of
+    test_parallel.test_dit_sfron_step_sharded_equivalence."""
+    from uurg_tpu.train import make_optimizer
+    from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+    from uurg_tpu.unlearn.sfron import init_state
+    from uurg_tpu.workloads.dit import DiTWorkload
+
+    wl = DiTWorkload.build("DiT-S/2", 32, 4, dtype=jnp.float32)
+    params = wl.init_params(jax.random.key(0))
+    opt = make_optimizer("adamw", 1e-3)
+    cfg = SFRonConfig(n_iters=2, forget_alpha=1e-2, remain_alpha=1.0,
+                      alpha_sched="const", forget_clip=1.0,
+                      remain_clip=None, ema_mu=0.999)
+    step = make_sfron_step(cfg, opt, wl.forget_loss_fn("ga", 0),
+                           wl.train_loss_fn(), donate=False)
+
+    kx = jax.random.key(1)
+    fb = (jax.random.normal(kx, (8, 4, 4, 4)), jnp.zeros((8,), jnp.int32))
+    rb = (jax.random.normal(jax.random.fold_in(kx, 1), (8, 4, 4, 4)),
+          jnp.ones((8,), jnp.int32))
+
+    s1 = init_state(params, opt, ema=True)
+    s1, m1 = step(s1, fb, rb, jax.random.key(2))
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    s2 = init_state(params, opt, ema=True)
+    s2 = jax.device_put(s2, NamedSharding(mesh, P()))
+    s2.params = shard_params_tp(s2.params, mesh)
+    s2.ema_params = shard_params_tp(s2.ema_params, mesh)
+    s2, m2 = step(s2, shard_batch(fb, mesh), shard_batch(rb, mesh),
+                  jax.random.key(2))
+
+    np.testing.assert_allclose(float(m1["remain_loss"]),
+                               float(m2["remain_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

@@ -4,4 +4,7 @@ from uurg_tpu.parallel.mesh import (
     replicate,
     shard_params_fsdp,
     shard_batch,
+    tp_param_specs,
+    shard_params_tp,
+    DIT_TP_RULES,
 )

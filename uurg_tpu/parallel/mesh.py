@@ -104,3 +104,92 @@ def fsdp_param_specs(params: PyTree, mesh: Mesh, axis: str = "model",
     return jax.tree_util.tree_map(
         lambda p: fsdp_spec(p.shape, axis, axis_size, min_size), params
     )
+
+
+# --- tensor parallelism -----------------------------------------------------
+#
+# Megatron-style TP as rule-based partition specs: column-parallel (shard the
+# output-features dim) for qkv/fc1-style projections, row-parallel (shard the
+# input-features dim) for proj/fc2-style projections. pjit's SPMD partitioner
+# propagates the activation shardings and inserts the reduce at each
+# row-parallel matmul over ICI — the hand-written all_reduce of a Megatron
+# implementation never appears in user code. This exceeds the reference's
+# parallelism surface (torch DataParallel only — SURVEY §2.5 marks TP/PP
+# absent); it is what makes >16GB models trainable on a pod slice.
+#
+# A rule is (path_regex, tail) where ``tail`` names mesh axes for the LAST
+# len(tail) dims of a matching param, right-aligned — so the same rules cover
+# scan-stacked params (leading depth dim) and plain ones: ("model", None)
+# applied to a (depth, Din, Dout) kernel gives P(None, "model", None).
+
+TPRule = tuple[str, tuple]
+
+# DiT blocks (uurg_tpu/models/dit.py DiTBlock): qkv + mlp_fc1 + adaLN
+# column-parallel, attn proj + mlp_fc2 row-parallel. Everything outside the
+# blocks (embedders, final head) is small and stays replicated.
+DIT_TP_RULES: list[TPRule] = [
+    (r"attn/qkv/(kernel|bias)$", ("model",)),
+    (r"mlp_fc1/(kernel|bias)$", ("model",)),
+    (r"adaLN_modulation/(kernel|bias)$", ("model",)),
+    (r"attn/proj/kernel$", ("model", None)),
+    (r"mlp_fc2/kernel$", ("model", None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for k in path:
+        parts.append(getattr(k, "key", getattr(k, "idx", k)))
+    return "/".join(str(p) for p in parts)
+
+
+def tp_param_specs(params: PyTree, mesh: Mesh,
+                   rules: Sequence[TPRule] = DIT_TP_RULES,
+                   fallback: str = "replicate",
+                   fsdp_min_size: int = 2**14) -> PyTree:
+    """PartitionSpecs from path-regex rules (first match wins).
+
+    A matched param gets its LAST ``len(tail)`` dims annotated with the
+    rule's tail (axes must divide the dim size — otherwise the param falls
+    through to ``fallback``). Unmatched params are replicated, or
+    FSDP-sharded when ``fallback='fsdp'`` (mixing TP matrices with
+    FSDP-scattered residual params over the same axis is sound: both are
+    just shardings, pjit reconciles them per-op).
+    """
+    import re
+
+    compiled = [(re.compile(rx), tail) for rx, tail in rules]
+
+    def fb_spec(p) -> P:
+        if fallback == "fsdp":
+            return fsdp_spec(p.shape, "model", mesh.shape["model"],
+                             fsdp_min_size)
+        return P()
+
+    def one(path, p) -> P:
+        s = _path_str(path)
+        for rx, tail in compiled:
+            if rx.search(s):
+                if len(tail) > len(p.shape):
+                    break
+                ok = all(
+                    ax is None or p.shape[len(p.shape) - len(tail) + i]
+                    % mesh.shape[ax] == 0
+                    for i, ax in enumerate(tail))
+                if not ok:
+                    break
+                spec = [None] * (len(p.shape) - len(tail)) + list(tail)
+                return P(*spec)
+        return fb_spec(p)
+
+    return jax.tree_util.tree_map_with_path(one, params)
+
+
+def shard_params_tp(params: PyTree, mesh: Mesh,
+                    rules: Sequence[TPRule] = DIT_TP_RULES,
+                    fallback: str = "replicate") -> PyTree:
+    """Place params with tensor-parallel sharding per ``tp_param_specs``."""
+    specs = tp_param_specs(params, mesh, rules, fallback)
+    return jax.tree_util.tree_map(
+        lambda p, s: jax.device_put(p, NamedSharding(mesh, s)),
+        params, specs)
