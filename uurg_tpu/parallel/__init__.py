@@ -7,4 +7,5 @@ from uurg_tpu.parallel.mesh import (
     tp_param_specs,
     shard_params_tp,
     DIT_TP_RULES,
+    SD_TP_RULES,
 )

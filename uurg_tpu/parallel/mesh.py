@@ -135,6 +135,16 @@ DIT_TP_RULES: list[TPRule] = [
     (r"mlp_fc2/kernel$", ("model", None)),
 ]
 
+# SD UNet spatial transformers (uurg_tpu/models/sd_unet.py): q/k/v + GEGLU
+# column-parallel, to_out + ff_out row-parallel. Convs / norms / embeddings
+# fall through (use fallback='fsdp' to scatter those too).
+SD_TP_RULES: list[TPRule] = [
+    (r"attn[12]/to_[qkv]/kernel$", ("model",)),
+    (r"ff_geglu/proj/(kernel|bias)$", ("model",)),
+    (r"attn[12]/to_out/kernel$", ("model", None)),
+    (r"ff_out/kernel$", ("model", None)),
+]
+
 
 def _path_str(path) -> str:
     parts = []
