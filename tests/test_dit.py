@@ -90,3 +90,22 @@ def test_sincos_pos_embed_range():
     emb = sincos_2d_pos_embed(16, 4)
     assert emb.shape == (16, 16)
     assert np.all(np.abs(emb) <= 1.0)
+
+
+def test_remat_policy_grad_parity(tiny_dit):
+    """remat_policy options (None / dots / attn) change only what the
+    backward saves, never the gradients."""
+    from uurg_tpu.models.dit import DiT
+
+    _, params = tiny_dit
+    x = jnp.ones((2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    y = jnp.zeros((2,), jnp.int32)
+    sums = []
+    for pol in (None, "dots", "attn"):
+        model = DiT(dataclasses.replace(TINY, remat_policy=pol))
+        g = jax.grad(lambda p: model.apply({"params": p}, x, t, y).sum())(
+            params)
+        sums.append(float(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.abs(b).sum(), g, 0.0)))
+    assert sums[0] == sums[1] == sums[2], sums

@@ -73,6 +73,10 @@ class MHSA(nn.Module):
         q, k, v = (z.squeeze(2).transpose(0, 2, 1, 3) for z in (q, k, v))
         out = attention(q, k, v)
         out = out.astype(self.dtype).transpose(0, 2, 1, 3).reshape(B, T, D)
+        # tag for the "attn" remat policy: saving this one tensor per block
+        # skips recomputing the attention kernel in the backward pass
+        from jax.ad_checkpoint import checkpoint_name
+        out = checkpoint_name(out, "attn_out")
         return nn.Dense(D, dtype=self.dtype, name="proj")(out)
 
 
@@ -136,6 +140,14 @@ class DiTConfig:
                                    # identical blocks compile ONCE (order-of-
                                    # magnitude compile-time win on TPU)
     remat: bool = True             # rematerialize block activations in bwd
+    remat_policy: str | None = None  # None = full remat; "dots" saves MXU
+                                   # (matmul) outputs and recomputes only
+                                   # elementwise/norm work in the backward
+                                   # (OOMs DiT-XL b16 on one 16GB chip);
+                                   # "attn" saves just the per-block
+                                   # attention outputs — skips recomputing
+                                   # the attention kernel at ~590KB/sample/
+                                   # block of extra HBM
 
 
 class DiT(nn.Module):
@@ -175,7 +187,13 @@ class DiT(nn.Module):
         if cfg.scan_blocks:
             block_cls = _ScanDiTBlock
             if cfg.remat:
-                block_cls = nn.remat(block_cls, prevent_cse=False)
+                policy = {"dots": jax.checkpoint_policies
+                          .dots_with_no_batch_dims_saveable,
+                          "attn": jax.checkpoint_policies
+                          .save_only_these_names("attn_out"),
+                          None: None}[cfg.remat_policy]
+                block_cls = nn.remat(block_cls, prevent_cse=False,
+                                     policy=policy)
             scan = nn.scan(
                 block_cls,
                 variable_axes={"params": 0},
