@@ -100,3 +100,17 @@ def test_resolve_checkpoint_dir_layouts(tmp_path):
 
     missing = str(tmp_path / "nope")
     assert resolve_checkpoint_dir(missing) == missing
+
+    # auxiliary checkpoints (fisher/mask artifacts) never win the
+    # single-subdir scan: an SA run dir holds fisher_dict NEXT TO the train
+    # state, and load_params must not resolve to the fisher (regression:
+    # test_sa_forget_runs KeyError 'params')
+    sa_run = tmp_path / "sa_run"
+    mk_ckpt(sa_run / "fisher_dict")
+    state = mk_ckpt(sa_run / "state")
+    assert resolve_checkpoint_dir(str(sa_run)) == state
+
+    # a dir holding ONLY aux checkpoints passes through unchanged
+    fdir = tmp_path / "fishers"
+    mk_ckpt(fdir / "forget_fisher")
+    assert resolve_checkpoint_dir(str(fdir)) == str(fdir)

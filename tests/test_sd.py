@@ -157,3 +157,24 @@ def test_prox_operator_shrinks_toward_init():
     # top-25% threshold = 2nd largest |delta| = 3.0: shrink all by 3
     np.testing.assert_allclose(w[:2], [1.0, 0.0], atol=1e-6)
     np.testing.assert_allclose(w[2:], 0.0, atol=1e-6)
+
+
+def test_sd_remat_policy_grad_parity():
+    """remat_policy (None / dots) changes only backward memory, not grads."""
+    import dataclasses
+
+    from uurg_tpu.models.sd_unet import init_sd_unet
+
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    t = jnp.full((2,), 3, jnp.int32)
+    ctx = jax.random.normal(jax.random.key(2), (2, 8, 16))
+    sums = []
+    for pol in (None, "dots"):
+        cfg = dataclasses.replace(TINY_UNET, remat_policy=pol)
+        model, params = init_sd_unet(jax.random.key(0), cfg, latent_size=8,
+                                     context_len=8)
+        g = jax.grad(lambda p: model.apply(
+            {"params": p}, x, t, ctx).astype(jnp.float32).sum())(params)
+        sums.append(float(jax.tree_util.tree_reduce(
+            lambda a, b: a + jnp.abs(b).sum(), g, 0.0)))
+    assert sums[0] == sums[1], sums

@@ -52,6 +52,12 @@ def resolve_checkpoint_dir(path: str) -> str:
     if os.path.isdir(path):
         subs = [os.path.join(path, d) for d in sorted(os.listdir(path))]
         ckpts = [s for s in subs if os.path.isdir(s) and is_checkpoint_dir(s)]
+        # auxiliary artifacts (fisher diagonals, saliency masks) are Orbax
+        # checkpoints too — a run dir holding train state NEXT TO a
+        # fisher_dict must never resolve to the fisher
+        aux = ("fisher", "mask")
+        ckpts = [s for s in ckpts
+                 if not any(k in os.path.basename(s).lower() for k in aux)]
         if len(ckpts) == 1:
             return ckpts[0]
     return path

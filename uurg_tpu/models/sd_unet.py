@@ -160,6 +160,10 @@ class SDUNetConfig:
     dtype: Any = jnp.bfloat16
     remat: bool = True   # rematerialize blocks in backward (860M model +
                          # 4096-token attention activations on a 16GB chip)
+    remat_policy: str | None = None  # None = full remat; "dots" saves MXU
+                         # (matmul/conv) outputs inside each remat block and
+                         # recomputes only elementwise/norm work — trades
+                         # HBM for recompute FLOPs
 
 
 class SDUNet(nn.Module):
@@ -175,9 +179,13 @@ class SDUNet(nn.Module):
         emb = nn.Dense(ch0 * 4, dtype=cfg.dtype, name="time_embed_2")(silu(emb))
         context = context.astype(cfg.dtype)
 
-        res_cls = (nn.remat(SDResBlock, prevent_cse=False) if cfg.remat
-                   else SDResBlock)
-        attn_cls = (nn.remat(SpatialTransformer, prevent_cse=False)
+        policy = {"dots": jax.checkpoint_policies
+                  .dots_with_no_batch_dims_saveable,
+                  None: None}[cfg.remat_policy]
+        res_cls = (nn.remat(SDResBlock, prevent_cse=False, policy=policy)
+                   if cfg.remat else SDResBlock)
+        attn_cls = (nn.remat(SpatialTransformer, prevent_cse=False,
+                             policy=policy)
                     if cfg.remat else SpatialTransformer)
 
         def attn(h, name):

@@ -67,10 +67,39 @@ def _flip(config):
     return None
 
 
+_DATA_SHARDING = None
+
+
+def _data_sharding():
+    """Lazy 1-D data mesh over all local devices (None on one device).
+
+    Makes every training loop in this runner multi-chip by default: batches
+    land data-sharded, params stay uncommitted (pjit replicates them), and
+    the loss mean turns gradient reduction into a psum over ICI — the
+    DataParallel replacement at the train loops, matching what
+    ``sample_class_batches`` already does for sampling.
+    """
+    global _DATA_SHARDING
+    if _DATA_SHARDING is None:
+        if jax.device_count() > 1:
+            from uurg_tpu.parallel import batch_sharding, make_mesh
+
+            _DATA_SHARDING = batch_sharding(
+                make_mesh({"data": jax.device_count()}))
+        else:
+            _DATA_SHARDING = False
+    return _DATA_SHARDING or None
+
+
 def _device_batch(config, x, c):
     x = jnp.asarray(x)
     x = data_transform(config, x)
-    return x, jnp.asarray(c)
+    c = jnp.asarray(c)
+    sh = _data_sharding()
+    if sh is not None and x.shape[0] % jax.device_count() == 0:
+        x = jax.device_put(x, sh)
+        c = jax.device_put(c, sh)
+    return x, c
 
 
 def pretrain(args, config, ckpt_dir: str, dataset: ArrayDataset | None = None):
