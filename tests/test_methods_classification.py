@@ -132,3 +132,27 @@ def test_device_batcher_no_augment_matches_source():
     x, y = np.asarray(x), np.asarray(y)
     np.testing.assert_allclose(
         x, images[y].astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_sfron_fisher_cache_saved_and_reused(ctx, tmp_path, monkeypatch):
+    """With save_path set, SFRon persists forget/remain fisher checkpoints
+    and reuses them on a repeat run without recomputing
+    (Classification/unlearn/sfron.py:269-271,296-298 parity)."""
+    import uurg_tpu.unlearn.methods.classification as M
+
+    run_ctx = dataclasses.replace(
+        ctx, save_path=str(tmp_path),
+        overrides={"n_iters": 4, "forget_freq": 2})
+    unlearn_method_registry.get("SFRon")(run_ctx)
+    from uurg_tpu.io.checkpoint import is_checkpoint_dir
+
+    assert is_checkpoint_dir(str(tmp_path / "forget_fisher"))
+    assert is_checkpoint_dir(str(tmp_path / "remain_fisher"))
+
+    def boom(*a, **k):
+        raise AssertionError("fisher recomputed despite cache")
+
+    monkeypatch.setattr(M, "accumulate_fisher", boom)
+    p, bs = unlearn_method_registry.get("SFRon")(run_ctx)
+    for leaf in jax.tree_util.tree_leaves(p):
+        assert np.all(np.isfinite(np.asarray(leaf)))

@@ -431,17 +431,39 @@ def sfron(ctx: UnlearnContext, key=None):
     use_mask = ctx.hp("mask", True)
     mask = None
     if use_mask:
-        fkey = jax.random.key(ctx.seed)
-        forget_fisher = accumulate_fisher(
-            fisher_loss, ctx.params,
-            ((jnp.asarray(x), jnp.asarray(y)) for x, y in
-             epoch_batches(ctx.forget_train, ctx.batch_size, seed=ctx.seed)),
-            fkey)
-        remain_fisher = accumulate_fisher(
-            fisher_loss, ctx.params,
-            ((jnp.asarray(x), jnp.asarray(y)) for x, y in
-             epoch_batches(ctx.retain_train, ctx.batch_size, seed=ctx.seed)),
-            fkey)
+        # fisher-file cache, reference parity: Classification/unlearn/
+        # sfron.py:269-271,296-298 saves forget_fisher.pt/remain_fisher.pt
+        # next to the run and reuses them on repeat runs
+        import os
+
+        from uurg_tpu.io.checkpoint import (
+            is_checkpoint_dir, restore_checkpoint, save_checkpoint)
+
+        ff_path = rf_path = None
+        if ctx.save_path:
+            ff_path = os.path.join(ctx.save_path, "forget_fisher")
+            rf_path = os.path.join(ctx.save_path, "remain_fisher")
+        if ff_path and is_checkpoint_dir(ff_path) \
+                and is_checkpoint_dir(rf_path):
+            forget_fisher = restore_checkpoint(ff_path, ctx.params)
+            remain_fisher = restore_checkpoint(rf_path, ctx.params)
+        else:
+            fkey = jax.random.key(ctx.seed)
+            forget_fisher = accumulate_fisher(
+                fisher_loss, ctx.params,
+                ((jnp.asarray(x), jnp.asarray(y)) for x, y in
+                 epoch_batches(ctx.forget_train, ctx.batch_size,
+                               seed=ctx.seed)),
+                fkey)
+            remain_fisher = accumulate_fisher(
+                fisher_loss, ctx.params,
+                ((jnp.asarray(x), jnp.asarray(y)) for x, y in
+                 epoch_batches(ctx.retain_train, ctx.batch_size,
+                               seed=ctx.seed)),
+                fkey)
+            if ff_path:
+                save_checkpoint(ff_path, forget_fisher)
+                save_checkpoint(rf_path, remain_fisher)
         mask = fisher_ratio_mask(forget_fisher, remain_fisher,
                                  ctx.hp("th", 1.0))
 
