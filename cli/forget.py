@@ -47,6 +47,13 @@ def parse_args():
     p.add_argument("--global-seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=10000)
+    p.add_argument("--mesh", type=str, default="",
+                   help="multi-chip mesh spec, e.g. 'data=4,model=2' "
+                        "(-1 fills remaining devices); empty = single-chip")
+    p.add_argument("--parallelism", type=str, default="dp",
+                   choices=["dp", "fsdp", "tp"],
+                   help="param sharding over the mesh 'model' axis "
+                        "(docs/SCALING.md)")
     return p.parse_args()
 
 
@@ -157,6 +164,12 @@ def main():
             remain_it = device_stream(infinite_batches(
                 remain, args.global_batch_size, seed=args.global_seed + 1))
 
+    mesh = None
+    if args.mesh:
+        from uurg_tpu.parallel import make_mesh, parse_mesh_spec
+
+        mesh = make_mesh(parse_mesh_spec(args.mesh))
+
     ckpt_dir = os.path.join(args.results_dir,
                             f"forget_{args.label_to_forget}")
     os.makedirs(ckpt_dir, exist_ok=True)
@@ -186,6 +199,8 @@ def main():
         grad_clip=args.grad_clip,
         ckpt_dir=ckpt_dir, ckpt_freq=args.ckpt_every,
         sample_hook=sample_hook, snapshot_freq=args.snapshot_every,
+        mesh=mesh,
+        parallelism=args.parallelism,
     )
     print(f"done: {ckpt_dir}")
 

@@ -161,3 +161,43 @@ def test_dit_sfron_step_tp_equivalence():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_parse_mesh_spec():
+    from uurg_tpu.parallel import parse_mesh_spec
+
+    assert parse_mesh_spec("data=4,model=2") == {"data": 4, "model": 2}
+    assert parse_mesh_spec("data=-1") == {"data": -1}
+    with pytest.raises(ValueError):
+        parse_mesh_spec("data")
+    with pytest.raises(ValueError):
+        parse_mesh_spec("")
+
+
+@pytest.mark.slow
+def test_dit_forget_runner_under_tp_mesh(tmp_path):
+    """dit_forget with mesh= + parallelism='tp' runs end-to-end on the
+    virtual mesh (the --mesh/--parallelism CLI path)."""
+    from uurg_tpu.workloads.dit import DiTWorkload
+    from uurg_tpu.workloads.dit_runner import dit_forget
+    from uurg_tpu.models.dit import build_dit
+    from uurg_tpu.diffusion.gaussian import make_diffusion
+
+    model, cfg = build_dit("DiT-S/2", input_size=8, num_classes=10,
+                           depth=2, dtype=jnp.float32)
+    wl = DiTWorkload(model=model, cfg=cfg,
+                     diffusion=make_diffusion("", 40, learn_sigma=True))
+    params = wl.init_params(jax.random.key(0))
+
+    def batches(seed):
+        k = jax.random.key(seed)
+        while True:
+            k, sub = jax.random.split(k)
+            yield (jax.random.normal(sub, (8, 8, 8, 4)),
+                   jnp.zeros((8,), jnp.int32))
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    state = dit_forget(wl, params, batches(0), batches(1), n_iters=2,
+                       log_freq=1, mesh=mesh, parallelism="tp")
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))

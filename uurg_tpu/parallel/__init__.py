@@ -1,5 +1,6 @@
 from uurg_tpu.parallel.mesh import (
     make_mesh,
+    parse_mesh_spec,
     batch_sharding,
     replicate,
     shard_params_fsdp,

@@ -50,6 +50,24 @@ def make_mesh(axis_sizes: dict[str, int] | None = None,
     return Mesh(mesh_devices, tuple(names))
 
 
+def parse_mesh_spec(spec: str) -> dict[str, int]:
+    """Parse a CLI mesh spec like ``"data=4,model=2"`` (``-1`` fills the
+    remaining devices, as in :func:`make_mesh`)."""
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, size = part.partition("=")
+        if not _ or not name:
+            raise ValueError(f"bad mesh spec {spec!r}: expected name=size "
+                             f"pairs, got {part!r}")
+        out[name.strip()] = int(size)
+    if not out:
+        raise ValueError(f"empty mesh spec {spec!r}")
+    return out
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Sharding for batch-leading arrays: first dim over the data axis."""
     return NamedSharding(mesh, P(axis))

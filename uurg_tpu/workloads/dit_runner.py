@@ -54,6 +54,8 @@ def dit_forget(
     ckpt_freq: int = 10000,
     sample_hook: Callable | None = None,
     snapshot_freq: int = 500,
+    mesh=None,                 # jax.sharding.Mesh for multi-chip training
+    parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (over mesh axis 'model')
 ):
     """SFR-on for DiT (DiT/forget.py:256-345): masked ascent + remain descent
     + update_ema, one jit. ``ema_decay`` follows DiT's update_ema (shadow =
@@ -94,11 +96,36 @@ def dit_forget(
                                 ema_params=ck["ema_params"])
             start_step = int(ck["step"])
             log.info("resumed from %s at step %d", resume_path, start_step)
+    if mesh is not None:
+        # multi-chip placement: state replicated, then params (+EMA shadow)
+        # re-sharded per mode; batches land data-sharded. pjit infers the
+        # rest — see docs/SCALING.md
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from uurg_tpu.parallel import (
+            shard_batch, shard_params_fsdp, shard_params_tp)
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if parallelism == "fsdp":
+            state.params = shard_params_fsdp(state.params, mesh)
+            state.ema_params = shard_params_fsdp(state.ema_params, mesh)
+        elif parallelism == "tp":
+            state.params = shard_params_tp(state.params, mesh)
+            state.ema_params = shard_params_tp(state.ema_params, mesh)
+        elif parallelism != "dp":
+            raise ValueError(f"unknown parallelism {parallelism!r}")
+
+        def _place(b):
+            return shard_batch(b, mesh)
+    else:
+        def _place(b):
+            return b
+
     key = jax.random.key(seed)
     start = time.time()
     for i in range(start_step, n_iters):
-        state, metrics = step(state, next(forget_batches),
-                              next(remain_batches), key)
+        state, metrics = step(state, _place(next(forget_batches)),
+                              _place(next(remain_batches)), key)
         if (i + 1) % log_freq == 0:
             jax.block_until_ready(state.params)
             log.info("step %d forget %.4f remain %.4f (%.2f steps/s)",
