@@ -35,6 +35,13 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str, default="results/sd/nsfw_removal")
     p.add_argument("--snapshot_freq", type=int, default=200)
+    p.add_argument("--mesh", type=str, default="",
+                   help="multi-chip mesh spec, e.g. 'data=4,model=2'; "
+                        "empty = single-chip")
+    p.add_argument("--parallelism", type=str, default="dp",
+                   choices=["dp", "fsdp", "tp"],
+                   help="param sharding over the mesh 'model' axis "
+                        "(docs/SCALING.md)")
     return p.parse_args()
 
 
@@ -112,12 +119,19 @@ def main():
                  **flax_unet_to_diffusers(jax.device_get(params),
                                           wl.unet.cfg))
 
+    mesh = None
+    if args.mesh:
+        from uurg_tpu.parallel import make_mesh, parse_mesh_spec
+
+        mesh = make_mesh(parse_mesh_spec(args.mesh))
+
     final = nsfw_removal(
         wl, unet_params, fb, rb, n_iters=args.n_iters, lr=args.lr,
         train_method=args.train_method, saliency_mask=mask,
         forget_alpha=args.forget_alpha, remain_alpha=args.remain_alpha,
         seed=args.seed, snapshot_hook=snapshot,
-        snapshot_freq=args.snapshot_freq)
+        snapshot_freq=args.snapshot_freq,
+        mesh=mesh, parallelism=args.parallelism)
     save_checkpoint(os.path.join(args.save_path, "final"), final)
     print(f"done: {args.save_path}")
 

@@ -174,3 +174,18 @@ def test_sampler_does_not_capture_text_encoder(wl, unet_params):
         assert np.all(np.isfinite(np.asarray(z)))
     finally:
         wl.text_params = saved
+
+
+def test_nsfw_removal_loop_under_tp_mesh(wl, unet_params):
+    """nsfw_removal with mesh= + parallelism='tp' (the --mesh CLI path):
+    SD_TP_RULES + fsdp fallback over a (data=2, model=4) virtual mesh."""
+    from uurg_tpu.parallel import make_mesh
+
+    mesh = make_mesh({"data": 2, "model": 4})
+    out = sd_runner.nsfw_removal(
+        wl, unet_params,
+        _z_ctx_batches(jax.random.key(0), with_pseudo=True),
+        _z_ctx_batches(jax.random.key(1)),
+        n_iters=2, lr=1e-4, train_method="xattn", snapshot_freq=10,
+        mesh=mesh, parallelism="tp")
+    assert _finite(out)

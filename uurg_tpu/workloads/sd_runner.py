@@ -72,6 +72,9 @@ def nsfw_removal(
     seed: int = 0,
     snapshot_hook: Callable | None = None,
     snapshot_freq: int = 200,
+    mesh=None,                 # jax.sharding.Mesh for multi-chip training
+    parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (SD_TP_RULES +
+                               # fsdp fallback for convs; docs/SCALING.md)
 ):
     """SFR-on concept erasure (SD/train-scripts/nsfw_removal.py:38-214).
 
@@ -85,10 +88,30 @@ def nsfw_removal(
     step = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
                            wl.shared_step_loss)
     state = init_state(unet_params, opt, mask=saliency_mask)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from uurg_tpu.parallel import (
+            SD_TP_RULES, shard_batch, shard_params_fsdp, shard_params_tp)
+
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        if parallelism == "fsdp":
+            state.params = shard_params_fsdp(state.params, mesh)
+        elif parallelism == "tp":
+            state.params = shard_params_tp(state.params, mesh,
+                                           SD_TP_RULES, fallback="fsdp")
+        elif parallelism != "dp":
+            raise ValueError(f"unknown parallelism {parallelism!r}")
+
+        def _place(b):
+            return shard_batch(b, mesh)
+    else:
+        def _place(b):
+            return b
     key = jax.random.key(seed)
     for i in range(n_iters):
-        state, metrics = step(state, next(forget_batches),
-                              next(remain_batches), key)
+        state, metrics = step(state, _place(next(forget_batches)),
+                              _place(next(remain_batches)), key)
         if (i + 1) % snapshot_freq == 0:
             log.info("step %d forget %.4f remain %.4f", i,
                      float(metrics["forget_loss"]),
