@@ -19,6 +19,18 @@ from uurg_tpu.parallel import (
 )
 
 
+def _mu_leaf(opt_state, suffix="attn/qkv/kernel"):
+    """Find the Adam first-moment leaf for a given param-path suffix."""
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    for path, leaf in flat:
+        s = "/".join(str(getattr(k, "key", getattr(k, "idx", getattr(
+            k, "name", k)))) for k in path)
+        if "mu" in s and s.endswith(suffix):
+            return leaf
+    raise AssertionError(
+        f"no mu leaf ending in {suffix!r} in opt_state")
+
+
 def _tiny_dit(depth=2, hidden=None):
     from uurg_tpu.models.dit import build_dit
 
@@ -152,6 +164,10 @@ def test_dit_sfron_step_tp_equivalence():
     s2 = jax.device_put(s2, NamedSharding(mesh, P()))
     s2.params = shard_params_tp(s2.params, mesh)
     s2.ema_params = shard_params_tp(s2.ema_params, mesh)
+    # ZeRO-style: the Adam mu/nu shard with the params (mu/nu leaf paths
+    # end with the param path, so the same TP rules match)
+    s2.opt_state = shard_params_tp(s2.opt_state, mesh)
+    assert _mu_leaf(s2.opt_state).sharding.spec == P(None, None, "model")
     s2, m2 = step(s2, shard_batch(fb, mesh), shard_batch(rb, mesh),
                   jax.random.key(2))
 
@@ -201,3 +217,6 @@ def test_dit_forget_runner_under_tp_mesh(tmp_path):
                        log_freq=1, mesh=mesh, parallelism="tp")
     for leaf in jax.tree_util.tree_leaves(state.params):
         assert np.all(np.isfinite(np.asarray(leaf)))
+    # the runner sharded the optimizer state too (ZeRO-style), and the
+    # jitted step preserved that sharding through the update
+    assert _mu_leaf(state.opt_state).sharding.spec == P(None, None, "model")

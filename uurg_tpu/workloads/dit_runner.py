@@ -106,12 +106,22 @@ def dit_forget(
             shard_batch, shard_params_fsdp, shard_params_tp)
 
         state = jax.device_put(state, NamedSharding(mesh, P()))
+        # the Adam mu/nu (param-shaped, the dominant HBM term) and the
+        # saliency mask shard with the SAME specs as the params: fsdp_spec
+        # is shape-only and the TP path-regex rules anchor on the param
+        # path tail, which mu/nu/mask leaf paths all end with — so the
+        # param helpers apply to those trees verbatim (ZeRO-style: no
+        # replicated optimizer state on any chip).
         if parallelism == "fsdp":
-            state.params = shard_params_fsdp(state.params, mesh)
-            state.ema_params = shard_params_fsdp(state.ema_params, mesh)
+            for f in ("params", "ema_params", "opt_state", "mask"):
+                if getattr(state, f) is not None:
+                    setattr(state, f, shard_params_fsdp(getattr(state, f),
+                                                        mesh))
         elif parallelism == "tp":
-            state.params = shard_params_tp(state.params, mesh)
-            state.ema_params = shard_params_tp(state.ema_params, mesh)
+            for f in ("params", "ema_params", "opt_state", "mask"):
+                if getattr(state, f) is not None:
+                    setattr(state, f, shard_params_tp(getattr(state, f),
+                                                      mesh))
         elif parallelism != "dp":
             raise ValueError(f"unknown parallelism {parallelism!r}")
 

@@ -95,11 +95,21 @@ def nsfw_removal(
             SD_TP_RULES, shard_batch, shard_params_fsdp, shard_params_tp)
 
         state = jax.device_put(state, NamedSharding(mesh, P()))
+        # opt_state (Adam mu/nu under optax.masked) and the saliency mask
+        # shard with the same specs as the params — fsdp_spec is shape-only
+        # and the TP rules match the param-path tail that mu/nu/mask leaf
+        # paths end with (ZeRO-style: no replicated optimizer state).
         if parallelism == "fsdp":
-            state.params = shard_params_fsdp(state.params, mesh)
+            for f in ("params", "opt_state", "mask"):
+                if getattr(state, f) is not None:
+                    setattr(state, f, shard_params_fsdp(getattr(state, f),
+                                                        mesh))
         elif parallelism == "tp":
-            state.params = shard_params_tp(state.params, mesh,
-                                           SD_TP_RULES, fallback="fsdp")
+            for f in ("params", "opt_state", "mask"):
+                if getattr(state, f) is not None:
+                    setattr(state, f, shard_params_tp(
+                        getattr(state, f), mesh, SD_TP_RULES,
+                        fallback="fsdp"))
         elif parallelism != "dp":
             raise ValueError(f"unknown parallelism {parallelism!r}")
 
