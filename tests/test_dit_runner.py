@@ -103,3 +103,33 @@ def test_dit_forget_auto_resume(tmp_path):
                     forget_alpha=1e-2, unlearn_loss="ga",
                     label_to_forget=0, seed=0, ckpt_dir=ck, ckpt_freq=100)
     assert int(s2.step) == 4
+
+
+@pytest.mark.slow
+def test_dit_forget_mesh_checkpoint_roundtrip(wl, tmp_path):
+    """Checkpoint/resume under a tp mesh: Orbax saves the sharded train
+    state (device_get gathers shards host-side), a resumed mesh run
+    re-shards and continues, and the result matches an uninterrupted mesh
+    run batch-for-batch."""
+    from uurg_tpu.parallel import make_mesh
+
+    params = wl.model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, 8, 8, 4)),
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))["params"]
+    mesh = make_mesh({"data": 2, "model": 4})
+    fb, rb = _batches(jax.random.key(1), 0), _batches(jax.random.key(2), 1)
+    kw = dict(lr=1e-4, forget_alpha=1e-2, unlearn_loss="ga",
+              label_to_forget=0, seed=0, mesh=mesh, parallelism="tp")
+
+    ref = dit_runner.dit_forget(wl, params, fb, rb, n_iters=4, **kw)
+
+    ck = str(tmp_path / "ck")
+    dit_runner.dit_forget(wl, params, fb, rb, n_iters=2, ckpt_dir=ck,
+                          ckpt_freq=2, **kw)
+    s2 = dit_runner.dit_forget(wl, params, fb, rb, n_iters=4, ckpt_dir=ck,
+                               ckpt_freq=100, **kw)
+    assert int(s2.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
