@@ -54,6 +54,9 @@ def parse_args():
                    choices=["dp", "fsdp", "tp"],
                    help="param sharding over the mesh 'model' axis "
                         "(docs/SCALING.md)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of the run there "
+                        "(TensorBoard/Perfetto); empty = off")
     return p.parse_args()
 
 
@@ -187,21 +190,25 @@ def main():
                         classes=list(range(min(8, args.num_classes))),
                         seed=args.global_seed)
 
-    dit_forget(
-        wl, params,
-        forget_it,
-        remain_it,
-        n_iters=args.n_iters, lr=args.lr, forget_alpha=args.forget_alpha,
-        remain_alpha=args.remain_alpha, unlearn_loss=args.unlearn_loss,
-        method=args.method, label_to_forget=args.label_to_forget,
-        mask=mask, seed=args.global_seed, log_freq=args.log_every,
-        decay_forget_alpha=args.decay_forget_alpha,
-        grad_clip=args.grad_clip,
-        ckpt_dir=ckpt_dir, ckpt_freq=args.ckpt_every,
-        sample_hook=sample_hook, snapshot_freq=args.snapshot_every,
-        mesh=mesh,
-        parallelism=args.parallelism,
-    )
+    from uurg_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        dit_forget(
+            wl, params,
+            forget_it,
+            remain_it,
+            n_iters=args.n_iters, lr=args.lr,
+            forget_alpha=args.forget_alpha,
+            remain_alpha=args.remain_alpha, unlearn_loss=args.unlearn_loss,
+            method=args.method, label_to_forget=args.label_to_forget,
+            mask=mask, seed=args.global_seed, log_freq=args.log_every,
+            decay_forget_alpha=args.decay_forget_alpha,
+            grad_clip=args.grad_clip,
+            ckpt_dir=ckpt_dir, ckpt_freq=args.ckpt_every,
+            sample_hook=sample_hook, snapshot_freq=args.snapshot_every,
+            mesh=mesh,
+            parallelism=args.parallelism,
+        )
     print(f"done: {ckpt_dir}")
 
 

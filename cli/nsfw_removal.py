@@ -42,6 +42,9 @@ def parse_args():
                    choices=["dp", "fsdp", "tp"],
                    help="param sharding over the mesh 'model' axis "
                         "(docs/SCALING.md)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of the run there "
+                        "(TensorBoard/Perfetto); empty = off")
     return p.parse_args()
 
 
@@ -125,13 +128,16 @@ def main():
 
         mesh = make_mesh(parse_mesh_spec(args.mesh))
 
-    final = nsfw_removal(
-        wl, unet_params, fb, rb, n_iters=args.n_iters, lr=args.lr,
-        train_method=args.train_method, saliency_mask=mask,
-        forget_alpha=args.forget_alpha, remain_alpha=args.remain_alpha,
-        seed=args.seed, snapshot_hook=snapshot,
-        snapshot_freq=args.snapshot_freq,
-        mesh=mesh, parallelism=args.parallelism)
+    from uurg_tpu.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        final = nsfw_removal(
+            wl, unet_params, fb, rb, n_iters=args.n_iters, lr=args.lr,
+            train_method=args.train_method, saliency_mask=mask,
+            forget_alpha=args.forget_alpha, remain_alpha=args.remain_alpha,
+            seed=args.seed, snapshot_hook=snapshot,
+            snapshot_freq=args.snapshot_freq,
+            mesh=mesh, parallelism=args.parallelism)
     save_checkpoint(os.path.join(args.save_path, "final"), final)
     print(f"done: {args.save_path}")
 

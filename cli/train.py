@@ -76,6 +76,9 @@ def parse_args():
                    choices=["auto", "rbg", "threefry2x32"],
                    help="PRNG impl; auto = hardware rbg on TPU (~20%% "
                         "faster steps), threefry elsewhere")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of the run there "
+                        "(TensorBoard/Perfetto); empty = off")
     return p.parse_args()
 
 
@@ -137,32 +140,35 @@ def main():
     hook = sample_hook if config.training.get("visualization_samples") \
         else None
 
-    if args.mode == "pretrain":
-        R.pretrain(args, config, ckpt_dir)
-    elif args.mode == "retrain":
-        # exact unlearning: pretraining on the remain split only
-        from uurg_tpu.data import class_forget_split
+    from uurg_tpu.utils.profiling import maybe_trace
 
-        remain, _ = class_forget_split(
-            R._load_train_dataset(args, config), args.label_to_forget)
-        R.pretrain(args, config, ckpt_dir, dataset=remain)
-    elif args.mode == "generate_fisher":
-        out = os.path.join(args.ckpt_folder or run_dir,
-                           f"mask_{args.label_to_forget}")
-        R.generate_fisher(args, config, out)
-        R.generate_fisher_mask(out, args.threshold)
-    elif args.mode == "generate_mask":
-        out = os.path.join(args.ckpt_folder or run_dir,
-                           f"salun_mask_{args.label_to_forget}")
-        R.generate_salun_mask(args, config, out, args.mask_ratio)
-    elif args.mode == "sfron":
-        R.sfron_forget(args, config, ckpt_dir, sample_hook=hook)
-    elif args.mode == "sa":
-        R.sa_forget(args, config, ckpt_dir)
-    elif args.mode == "salun":
-        # SalUn = RandomLabel loss + top-k mask, via the same engine
-        args.unlearn_loss = "rl"
-        R.sfron_forget(args, config, ckpt_dir, sample_hook=hook)
+    with maybe_trace(args.profile_dir):
+        if args.mode == "pretrain":
+            R.pretrain(args, config, ckpt_dir)
+        elif args.mode == "retrain":
+            # exact unlearning: pretraining on the remain split only
+            from uurg_tpu.data import class_forget_split
+
+            remain, _ = class_forget_split(
+                R._load_train_dataset(args, config), args.label_to_forget)
+            R.pretrain(args, config, ckpt_dir, dataset=remain)
+        elif args.mode == "generate_fisher":
+            out = os.path.join(args.ckpt_folder or run_dir,
+                               f"mask_{args.label_to_forget}")
+            R.generate_fisher(args, config, out)
+            R.generate_fisher_mask(out, args.threshold)
+        elif args.mode == "generate_mask":
+            out = os.path.join(args.ckpt_folder or run_dir,
+                               f"salun_mask_{args.label_to_forget}")
+            R.generate_salun_mask(args, config, out, args.mask_ratio)
+        elif args.mode == "sfron":
+            R.sfron_forget(args, config, ckpt_dir, sample_hook=hook)
+        elif args.mode == "sa":
+            R.sa_forget(args, config, ckpt_dir)
+        elif args.mode == "salun":
+            # SalUn = RandomLabel loss + top-k mask, via the same engine
+            args.unlearn_loss = "rl"
+            R.sfron_forget(args, config, ckpt_dir, sample_hook=hook)
     print(f"done: {run_dir}")
 
 

@@ -46,6 +46,17 @@ def trace(log_dir: str = "/tmp/uurg_trace"):
         jax.profiler.stop_trace()
 
 
+@contextlib.contextmanager
+def maybe_trace(log_dir: str | None):
+    """``trace`` when ``log_dir`` is non-empty, else a no-op — the
+    ``--profile_dir`` CLI hook (view the trace in TensorBoard/Perfetto)."""
+    if log_dir:
+        with trace(log_dir):
+            yield log_dir
+    else:
+        yield None
+
+
 def timed(fn, *args, sync=True, **kwargs):
     """(result, seconds) with device sync."""
     t0 = time.perf_counter()
