@@ -59,6 +59,23 @@ def test_dit_sample_fid_latents(wl):
     assert out.shape == (3, 8, 8, 4)
 
 
+def test_dit_sample_fid_local_device_sharding_matches(wl):
+    """batch_size divisible by the local device count -> the label batch
+    lands data-sharded over all local chips; numerics must match the
+    unsharded sampler (sharding is layout, not math)."""
+    assert jax.device_count() == 8
+    params = wl.init_params(jax.random.key(0))
+    labels = np.arange(8) % 4
+    out = dit_runner.dit_sample_fid(
+        wl, params, labels, respacing="3", batch_size=8, cond_scale=1.5,
+        seed=3)
+    sampler = jax.jit(wl.make_sampler(respacing="3", cond_scale=1.5))
+    key = jax.random.key(3)
+    _, sub = jax.random.split(key)
+    ref = sampler(params, jnp.asarray(labels), sub)
+    np.testing.assert_allclose(np.asarray(ref), out, rtol=1e-5, atol=1e-5)
+
+
 def test_dit_sample_grid_writes_npz(tmp_path):
     import jax
 

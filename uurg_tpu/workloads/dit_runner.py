@@ -227,18 +227,31 @@ def dit_sample_fid(
 ) -> np.ndarray:
     """Process-sharded class-conditional sampling (sample_ddp parity: the
     rank-strided index math becomes process_index striding; no barriers —
-    the final npz merge is a host-side concat)."""
+    the final npz merge is a host-side concat). Within a process the label
+    batch additionally lands data-sharded over the local devices (like
+    ddpm_runner.sample_class_batches), so all chips sample in parallel."""
     pid, pcount = jax.process_index(), jax.process_count()
     labels = class_labels[pid::pcount]
     sampler = jax.jit(wl.make_sampler(respacing=respacing,
                                       cond_scale=cond_scale))
+    sh = None
+    local = jax.local_devices()
+    if len(local) > 1 and batch_size % len(local) == 0:
+        # local mesh only: composes with the process striding above (each
+        # process shards its own label slice over its own chips)
+        from uurg_tpu.parallel import batch_sharding, make_mesh
+
+        sh = batch_sharding(make_mesh({"data": len(local)}, devices=local))
     outs = []
     key = jax.random.key(seed + pid)
     for i in range(0, len(labels), batch_size):
         chunk = labels[i : i + batch_size]
         pad = batch_size - len(chunk)
         key, sub = jax.random.split(key)
-        lat = sampler(params, jnp.asarray(np.pad(chunk, (0, pad))), sub)
+        lab = jnp.asarray(np.pad(chunk, (0, pad)))
+        if sh is not None:
+            lab = jax.device_put(lab, sh)
+        lat = sampler(params, lab, sub)
         lat = lat[: len(chunk)]
         if decode_fn is not None:
             img = decode_fn(lat)
