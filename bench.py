@@ -35,11 +35,15 @@ import jax
 import jax.numpy as jnp
 
 # persistent compilation cache: TPU compiles in this environment go through
-# a remote-compile RPC with multi-minute latency; cache hits skip it entirely
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# a remote-compile RPC with multi-minute latency; cache hits skip it entirely.
+# TPU-only: CPU AOT blobs are host-ISA-specific and reloading one compiled on
+# a different machine risks SIGILL (the cpu_aot_loader feature-mismatch
+# errors __graft_entry__._setup_cache documents) — never cache those.
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # Estimated reference (torch, single A100) throughputs. The reference repo
 # publishes no wall-clock numbers; these are engineering estimates used only

@@ -93,7 +93,9 @@ def main():
     mask = None
     if args.mask_path:
         mask = restore_checkpoint(args.mask_path, params)
-        mask = jax.tree_util.tree_map(lambda m: jnp.asarray(m, jnp.float32),
+        # bool mask: 1 byte/elem in HBM — float32 would cost ~2.7GB extra
+        # carried state at DiT-XL scale and OOM the 16GB chip
+        mask = jax.tree_util.tree_map(lambda m: jnp.asarray(m, jnp.bool_),
                                       mask)
 
     # data tiers (all stream without holding the corpus in RAM):

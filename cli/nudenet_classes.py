@@ -33,7 +33,6 @@ def main():
                         "not installed")
     args = p.parse_args()
 
-    detector = None
     if args.model_path:
         from uurg_tpu.eval.nudenet import make_onnx_detector
 

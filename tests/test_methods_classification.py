@@ -146,8 +146,9 @@ def test_sfron_fisher_cache_saved_and_reused(ctx, tmp_path, monkeypatch):
     unlearn_method_registry.get("SFRon")(run_ctx)
     from uurg_tpu.io.checkpoint import is_checkpoint_dir
 
-    assert is_checkpoint_dir(str(tmp_path / "forget_fisher"))
-    assert is_checkpoint_dir(str(tmp_path / "remain_fisher"))
+    tag = M._fisher_cache_tag(run_ctx)
+    assert is_checkpoint_dir(str(tmp_path / f"forget_fisher_{tag}"))
+    assert is_checkpoint_dir(str(tmp_path / f"remain_fisher_{tag}"))
 
     def boom(*a, **k):
         raise AssertionError("fisher recomputed despite cache")
@@ -156,3 +157,18 @@ def test_sfron_fisher_cache_saved_and_reused(ctx, tmp_path, monkeypatch):
     p, bs = unlearn_method_registry.get("SFRon")(run_ctx)
     for leaf in jax.tree_util.tree_leaves(p):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_sfron_fisher_cache_not_reused_across_splits(ctx, tmp_path,
+                                                     monkeypatch):
+    """A rerun with a DIFFERENT forget split must not reuse the cached
+    fisher: the cache dir is keyed by (seed, split, model) fingerprint."""
+    import uurg_tpu.unlearn.methods.classification as M
+
+    a = dataclasses.replace(ctx, save_path=str(tmp_path),
+                            overrides={"n_iters": 2, "forget_freq": 2})
+    b = dataclasses.replace(
+        a, forget_train=ctx.retain_train, retain_train=ctx.forget_train)
+    assert M._fisher_cache_tag(a) != M._fisher_cache_tag(b)
+    c = dataclasses.replace(a, seed=ctx.seed + 1)
+    assert M._fisher_cache_tag(a) != M._fisher_cache_tag(c)

@@ -29,6 +29,26 @@ def test_make_mesh_shapes():
     assert mesh2.shape == {"data": 8}
 
 
+def test_documented_cli_mesh_combos():
+    """The combinations docs/SCALING.md documents must work: fsdp on a
+    data-only mesh (ZeRO over the data axis) and tp on a model-only mesh
+    (replicated batch); tp without a 'model' axis raises a clear error."""
+    from uurg_tpu.parallel import DIT_TP_RULES, shard_params_tp
+
+    params = {"w": jnp.ones((256, 128)), "b": jnp.ones((4,))}
+    data_mesh = make_mesh({"data": -1})
+    sharded = shard_params_fsdp(params, data_mesh)  # axis='model' missing
+    assert "data" in str(sharded["w"].sharding.spec)
+
+    model_mesh = make_mesh({"model": -1})
+    b = shard_batch({"x": jnp.ones((16, 3))}, model_mesh)  # no 'data' axis
+    assert b["x"].sharding.spec == P()  # replicated batch: pure TP
+
+    with pytest.raises(ValueError, match="model"):
+        shard_params_tp({"attn/qkv/kernel": jnp.ones((8, 8))}, data_mesh,
+                        DIT_TP_RULES)
+
+
 def test_fsdp_spec_rules():
     assert fsdp_spec((8,), "model", 2, min_size=4) == P("model")
     assert fsdp_spec((3, 128), "model", 2, min_size=4) == P(None, "model")

@@ -68,8 +68,31 @@ def parse_mesh_spec(spec: str) -> dict[str, int]:
     return out
 
 
+def _resolve_axis(mesh: Mesh, axis: str) -> str | None:
+    """Resolve a preferred axis name against the mesh.
+
+    Missing axes fall back so the documented CLI combinations all work:
+    ``--parallelism fsdp`` on a ``data=N`` mesh shards params over ``data``
+    (ZeRO over the data axis), and ``--parallelism tp`` on a ``model=N``
+    mesh replicates the batch (pure TP). Returns None when the mesh has no
+    axis of size > 1 to use.
+    """
+    if axis in mesh.shape:
+        return axis
+    best = max(mesh.shape, key=lambda n: mesh.shape[n], default=None)
+    if best is None or mesh.shape[best] == 1:
+        return None
+    return best
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Sharding for batch-leading arrays: first dim over the data axis."""
+    """Sharding for batch-leading arrays: first dim over the data axis.
+
+    On a mesh without a ``data`` axis (pure tensor parallelism, e.g.
+    ``--mesh model=8``) the batch is replicated — each chip holds the full
+    batch and the sharded params produce sharded activations."""
+    if axis not in mesh.shape:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(axis))
 
 
@@ -106,7 +129,14 @@ def shard_params_fsdp(params: PyTree, mesh: Mesh, axis: str = "model",
                       min_size: int = 2**14) -> PyTree:
     """Place params with FSDP-style sharding over ``axis``; returns the
     sharded pytree. Use the matching specs (via ``fsdp_param_specs``) as
-    jit in_shardings so XLA all-gathers weights just-in-time per layer."""
+    jit in_shardings so XLA all-gathers weights just-in-time per layer.
+
+    If the mesh has no ``axis``, params shard over the largest mesh axis
+    instead (ZeRO over the data axis — the documented ``--mesh data=-1
+    --parallelism fsdp`` invocation)."""
+    axis = _resolve_axis(mesh, axis)
+    if axis is None:
+        return jax.device_put(params, NamedSharding(mesh, P()))
     axis_size = mesh.shape[axis]
     return jax.tree_util.tree_map(
         lambda p: jax.device_put(
@@ -118,6 +148,9 @@ def shard_params_fsdp(params: PyTree, mesh: Mesh, axis: str = "model",
 
 def fsdp_param_specs(params: PyTree, mesh: Mesh, axis: str = "model",
                      min_size: int = 2**14) -> PyTree:
+    axis = _resolve_axis(mesh, axis)
+    if axis is None:
+        return jax.tree_util.tree_map(lambda p: P(), params)
     axis_size = mesh.shape[axis]
     return jax.tree_util.tree_map(
         lambda p: fsdp_spec(p.shape, axis, axis_size, min_size), params
@@ -186,12 +219,21 @@ def tp_param_specs(params: PyTree, mesh: Mesh,
     """
     import re
 
+    rule_axes = {ax for _, tail in rules for ax in tail if ax is not None}
+    missing = rule_axes - set(mesh.shape)
+    if missing:
+        raise ValueError(
+            f"tensor-parallel rules shard over mesh axes {sorted(missing)} "
+            f"that the mesh {dict(mesh.shape)} does not have — pass e.g. "
+            f"--mesh data=-1,model=2 (or use --parallelism fsdp)")
     compiled = [(re.compile(rx), tail) for rx, tail in rules]
 
     def fb_spec(p) -> P:
         if fallback == "fsdp":
-            return fsdp_spec(p.shape, "model", mesh.shape["model"],
-                             fsdp_min_size)
+            ax = _resolve_axis(mesh, "model")
+            if ax is None:
+                return P()
+            return fsdp_spec(p.shape, ax, mesh.shape[ax], fsdp_min_size)
         return P()
 
     def one(path, p) -> P:

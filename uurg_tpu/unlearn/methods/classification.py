@@ -405,6 +405,24 @@ def scrub(ctx: UnlearnContext, key=None):
     return params, batch_stats
 
 
+def _fisher_cache_tag(ctx: UnlearnContext) -> str:
+    """Fingerprint of the Fisher-relevant run identity: seed, forget/retain
+    split (exact label sequence + a small image sample), and the model's
+    leaf paths/shapes. Keys the on-disk fisher cache so a rerun with a
+    different forget class, seed, split, or architecture recomputes instead
+    of silently reusing a stale diagonal."""
+    import zlib
+
+    h = zlib.crc32(np.int64(ctx.seed).tobytes())
+    h = zlib.crc32(np.asarray(ctx.forget_train.labels).tobytes(), h)
+    h = zlib.crc32(
+        np.ascontiguousarray(ctx.forget_train.images[:4]).tobytes(), h)
+    h = zlib.crc32(np.int64(len(ctx.retain_train)).tobytes(), h)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(ctx.params):
+        h = zlib.crc32(f"{path}{tuple(leaf.shape)}".encode(), h)
+    return f"{h:08x}"
+
+
 @unlearn_method_registry.register("SFRon")
 def sfron(ctx: UnlearnContext, key=None):
     """SFR-on for classifiers (Classification/unlearn/sfron.py:67-355):
@@ -433,7 +451,12 @@ def sfron(ctx: UnlearnContext, key=None):
     if use_mask:
         # fisher-file cache, reference parity: Classification/unlearn/
         # sfron.py:269-271,296-298 saves forget_fisher.pt/remain_fisher.pt
-        # next to the run and reuses them on repeat runs
+        # next to the run and reuses them on repeat runs. The reference's
+        # run dir encodes the hyperparams, so its cache is implicitly keyed
+        # by run identity; our save_path may be shared across runs, so the
+        # cache dir carries a fingerprint of (seed, model, forget/retain
+        # split) — a rerun with a different forget class, seed, or model
+        # recomputes instead of silently reusing a stale Fisher.
         import os
 
         from uurg_tpu.io.checkpoint import (
@@ -441,8 +464,9 @@ def sfron(ctx: UnlearnContext, key=None):
 
         ff_path = rf_path = None
         if ctx.save_path:
-            ff_path = os.path.join(ctx.save_path, "forget_fisher")
-            rf_path = os.path.join(ctx.save_path, "remain_fisher")
+            tag = _fisher_cache_tag(ctx)
+            ff_path = os.path.join(ctx.save_path, f"forget_fisher_{tag}")
+            rf_path = os.path.join(ctx.save_path, f"remain_fisher_{tag}")
         if ff_path and is_checkpoint_dir(ff_path) \
                 and is_checkpoint_dir(rf_path):
             forget_fisher = restore_checkpoint(ff_path, ctx.params)

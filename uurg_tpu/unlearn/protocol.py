@@ -71,9 +71,14 @@ def pretrain(cls: Classifier, params, batch_stats, train_ds: ArrayDataset,
 def evaluate(cls: Classifier, params, batch_stats, retain: ArrayDataset,
              forget: ArrayDataset, test_ds: ArrayDataset,
              *, batch_size: int = 256,
-             label_to_forget: int | None = None) -> dict:
+             label_to_forget: int | None = None,
+             return_forget_probs: bool = False):
     """One comparison-table row: accuracies + the logistic MIA probe
-    (Classification/main_random.py:113-148)."""
+    (Classification/main_random.py:113-148).
+
+    With ``return_forget_probs`` returns ``(row, forget_softmax)`` so the
+    caller's JS-divergence probe reuses the forget-set inference pass the
+    MIA probe already ran."""
     def batches(ds):
         return epoch_batches(ds, batch_size)
 
@@ -91,8 +96,11 @@ def evaluate(cls: Classifier, params, batch_stats, retain: ArrayDataset,
     rp, rl = cls.collect_logits(params, batch_stats, batches(retain))
     fp, fl = cls.collect_logits(params, batch_stats, batches(forget))
     tp, tl = cls.collect_logits(params, batch_stats, batches(test_ds))
+    f_soft = softmax(fp)
     row["mia"] = membership_attack_prob(
-        softmax(rp), rl, softmax(fp), fl, softmax(tp), tl)
+        softmax(rp), rl, f_soft, fl, softmax(tp), tl)
+    if return_forget_probs:
+        return row, f_soft
     return row
 
 
@@ -158,12 +166,11 @@ def run_comparison(model, train_ds: ArrayDataset, test_ds: ArrayDataset,
         t0 = time.time()
         u_params, u_bs = method(ctx)
         row = {"method": name, "unlearn_time": round(time.time() - t0, 2)}
-        row.update(evaluate(cls, u_params, u_bs, retain, forget, test_ds,
-                            batch_size=batch_size,
-                            label_to_forget=probe_label))
-        fp, _ = cls.collect_logits(u_params, u_bs,
-                                   epoch_batches(forget, batch_size))
-        forget_probs[name] = softmax(fp)
+        metrics, forget_probs[name] = evaluate(
+            cls, u_params, u_bs, retain, forget, test_ds,
+            batch_size=batch_size, label_to_forget=probe_label,
+            return_forget_probs=True)
+        row.update(metrics)
         log.info("%s: %s", name,
                  {k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in row.items()})
@@ -180,14 +187,39 @@ def run_comparison(model, train_ds: ArrayDataset, test_ds: ArrayDataset,
                 forget_probs[row["method"]], forget_probs["Retrain"])
 
     if csv_path:
-        os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
-        write_header = not os.path.exists(csv_path)
-        with open(csv_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0]))
-            if write_header:
-                w.writeheader()
-            w.writerows(rows)
+        _append_rows_csv(csv_path, rows)
     return rows
+
+
+def _append_rows_csv(csv_path: str, rows: list[dict]) -> None:
+    """Append rows, reconciling columns with any existing header.
+
+    Consecutive runs can carry different column sets (js_div only when
+    Retrain is compared; test_retain/forget_acc only in class mode), so a
+    blind append against the first run's header would misalign. If the new
+    rows add columns, the file is rewritten with the merged header; missing
+    values are left blank."""
+    os.makedirs(os.path.dirname(csv_path) or ".", exist_ok=True)
+    new_fields = list(dict.fromkeys(k for r in rows for k in r))
+    old_rows: list[dict] = []
+    fields = new_fields
+    if os.path.exists(csv_path):
+        with open(csv_path, newline="") as f:
+            reader = csv.DictReader(f)
+            old_fields = reader.fieldnames or []
+            extra = [k for k in new_fields if k not in old_fields]
+            if extra:
+                old_rows = list(reader)
+            fields = list(old_fields) + extra
+        if not extra:
+            with open(csv_path, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=fields, restval="")
+                w.writerows(rows)
+            return
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields, restval="")
+        w.writeheader()
+        w.writerows(old_rows + rows)
 
 
 def assert_efficacy(rows: list[dict], *, forget_floor: float = 85.0,

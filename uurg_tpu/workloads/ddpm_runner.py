@@ -81,11 +81,12 @@ def _data_sharding():
     """
     global _DATA_SHARDING
     if _DATA_SHARDING is None:
-        if jax.device_count() > 1:
+        local = jax.local_devices()
+        if len(local) > 1:
             from uurg_tpu.parallel import batch_sharding, make_mesh
 
             _DATA_SHARDING = batch_sharding(
-                make_mesh({"data": jax.device_count()}))
+                make_mesh({"data": len(local)}, devices=local))
         else:
             _DATA_SHARDING = False
     return _DATA_SHARDING or None
@@ -96,7 +97,7 @@ def _device_batch(config, x, c):
     x = data_transform(config, x)
     c = jnp.asarray(c)
     sh = _data_sharding()
-    if sh is not None and x.shape[0] % jax.device_count() == 0:
+    if sh is not None and x.shape[0] % len(jax.local_devices()) == 0:
         x = jax.device_put(x, sh)
         c = jax.device_put(c, sh)
     return x, c
