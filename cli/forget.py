@@ -51,9 +51,12 @@ def parse_args():
                    help="multi-chip mesh spec, e.g. 'data=4,model=2' "
                         "(-1 fills remaining devices); empty = single-chip")
     p.add_argument("--parallelism", type=str, default="dp",
-                   choices=["dp", "fsdp", "tp"],
-                   help="param sharding over the mesh 'model' axis "
+                   choices=["dp", "fsdp", "tp", "pp"],
+                   help="dp/fsdp/tp: param sharding over the mesh 'model' "
+                        "axis; pp: GPipe pipeline over a 'stage' axis "
                         "(docs/SCALING.md)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="pipeline microbatches (pp only); 0 = stage count")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the run there "
                         "(TensorBoard/Perfetto); empty = off")
@@ -210,6 +213,7 @@ def main():
             sample_hook=sample_hook, snapshot_freq=args.snapshot_every,
             mesh=mesh,
             parallelism=args.parallelism,
+            pp_microbatches=args.pp_microbatches or None,
         )
     print(f"done: {ckpt_dir}")
 

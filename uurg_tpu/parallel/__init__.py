@@ -10,3 +10,8 @@ from uurg_tpu.parallel.mesh import (
     DIT_TP_RULES,
     SD_TP_RULES,
 )
+from uurg_tpu.parallel.pipeline import (
+    dit_apply_pipelined,
+    pipeline_blocks,
+    shard_params_pp,
+)

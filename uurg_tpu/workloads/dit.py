@@ -26,6 +26,10 @@ class DiTWorkload:
     cfg: DiTConfig
     diffusion: GaussianDiffusion
     lambd: float = 0.5
+    # optional forward override, signature (params, x, t, y, cond_keep) ->
+    # model output. Set by the runner for pipeline parallelism
+    # (parallel/pipeline.py dit_apply_pipelined); None = plain module apply.
+    apply_fn: Callable | None = None
 
     @classmethod
     def build(cls, name: str = "DiT-XL/2", image_size: int = 256,
@@ -43,6 +47,8 @@ class DiTWorkload:
 
     def _model_fn(self, params, y, cond_keep=None, train=False, rng=None):
         def fn(x, t, **kw):
+            if self.apply_fn is not None:
+                return self.apply_fn(params, x, t, y, cond_keep)
             return self.model.apply({"params": params}, x, t, y, cond_keep,
                                     train=train)
         return fn
@@ -113,10 +119,10 @@ class DiTWorkload:
                                    self.diffusion.num_timesteps)
             noise = jax.random.normal(k_n, x.shape, x.dtype)
             x_t = self.diffusion.q_sample(x, t, noise)
-            out = self.model.apply({"params": params}, x_t, t, y)
+            out = self._model_fn(params, y)(x_t, t)
             pseudo_y = jnp.full_like(y, pseudo)
             target = jax.lax.stop_gradient(
-                self.model.apply({"params": params}, x_t, t, pseudo_y))
+                self._model_fn(params, pseudo_y)(x_t, t))
             return jnp.mean(jnp.square(out - target))
 
         return fn

@@ -55,7 +55,9 @@ def dit_forget(
     sample_hook: Callable | None = None,
     snapshot_freq: int = 500,
     mesh=None,                 # jax.sharding.Mesh for multi-chip training
-    parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (over mesh axis 'model')
+    parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (over mesh axis
+                               # 'model') | "pp" (pipeline over 'stage')
+    pp_microbatches: int | None = None,  # pp only; default = stage count
 ):
     """SFR-on for DiT (DiT/forget.py:256-345): masked ascent + remain descent
     + update_ema, one jit. ``ema_decay`` follows DiT's update_ema (shadow =
@@ -122,6 +124,27 @@ def dit_forget(
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_tp(getattr(state, f),
                                                       mesh))
+        elif parallelism == "pp":
+            # pipeline over the 'stage' axis: block stacks sharded along
+            # depth, forward routed through the GPipe microbatch schedule
+            # (parallel/pipeline.py); embed/final + non-block params stay
+            # replicated. Batches replicate (shard_batch has no 'data'
+            # axis to use on a stage-only mesh).
+            from uurg_tpu.parallel import (dit_apply_pipelined,
+                                           shard_params_pp)
+
+            if "stage" not in mesh.shape:
+                raise ValueError(
+                    "parallelism='pp' needs a 'stage' mesh axis — pass "
+                    "e.g. --mesh stage=4")
+            n_mb = pp_microbatches or mesh.shape["stage"]
+            for f in ("params", "ema_params", "opt_state", "mask"):
+                if getattr(state, f) is not None:
+                    setattr(state, f, shard_params_pp(getattr(state, f),
+                                                      mesh))
+            wl.apply_fn = lambda p, x, t, y, keep: dit_apply_pipelined(
+                p, wl.cfg, x, t, y, mesh=mesh, n_microbatches=n_mb,
+                cond_keep=keep)
         elif parallelism != "dp":
             raise ValueError(f"unknown parallelism {parallelism!r}")
 
