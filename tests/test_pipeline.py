@@ -95,3 +95,27 @@ def test_pipeline_rejects_bad_shapes(dit_setup):
     with pytest.raises(ValueError, match="divisible"):
         dit_apply_pipelined(params, CFG, x, t, y, mesh=mesh3,
                             n_microbatches=4)
+
+
+def test_dp_pp_composition_matches_plain(dit_setup):
+    """dp x pp on a (data=2, stage=4) mesh: each data slice runs its own
+    pipeline; forward and grads match the plain path."""
+    model, params, x, t, y = dit_setup
+    mesh = make_mesh({"data": 2, "stage": 4})
+    target = jax.random.normal(jax.random.key(3), (8, 8, 8, 8))
+
+    def loss(apply):
+        return lambda p: jnp.mean((apply(p) - target) ** 2)
+
+    plain = loss(lambda p: model.apply({"params": p}, x, t, y))
+    pp = loss(lambda p: dit_apply_pipelined(
+        p, CFG, x, t, y, mesh=mesh, n_microbatches=4))
+    np.testing.assert_allclose(np.asarray(jax.jit(pp)(params)),
+                               np.asarray(plain(params)), rtol=2e-5)
+    g_ref = jax.grad(plain)(params)
+    g_pp = jax.jit(jax.grad(pp))(params)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                            jax.tree_util.tree_leaves(g_pp)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5, rtol=5e-4,
+            err_msg=jax.tree_util.keystr(path))

@@ -57,17 +57,19 @@ def stage_block_apply(cfg: DiTConfig):
 
 
 def pipeline_blocks(stage_fn, block_params, h_mb, c_mb, *, mesh: Mesh,
-                    axis: str = "stage"):
+                    axis: str = "stage", batch_axis: str = "data"):
     """Run microbatches through stage-sharded blocks.
 
     Args:
       stage_fn: ``(local_param_stack, h, c) -> h`` for one stage's blocks.
       block_params: depth-stacked block params (leading dim = total depth,
         divisible by the stage count).
-      h_mb: (M, mb, T, D) microbatched activations, replicated.
-      c_mb: (M, mb, D) per-microbatch conditioning, replicated.
+      h_mb: (M, mb, T, D) microbatched activations, replicated over
+        ``axis``; sharded over ``batch_axis`` along mb when the mesh has
+        one (dp x pp composition — each data slice runs its own pipeline).
+      c_mb: (M, mb, D) per-microbatch conditioning, sharded like ``h_mb``.
 
-    Returns (M, mb, T, D) trunk outputs, replicated across the mesh.
+    Returns (M, mb, T, D) trunk outputs, sharded like the inputs.
     """
     S = mesh.shape[axis]
     M = h_mb.shape[0]
@@ -98,13 +100,18 @@ def pipeline_blocks(stage_fn, block_params, h_mb, c_mb, *, mesh: Mesh,
         return jax.lax.psum(
             jnp.where(s == S - 1, out, jnp.zeros_like(out)), axis)
 
+    # dp x pp composition: the per-microbatch batch dim shards over
+    # batch_axis when the mesh has one — each data slice runs its own
+    # pipeline over the stage axis with no cross-slice traffic
+    b_ax = batch_axis if batch_axis in mesh.shape else None
+    act_spec = P(None, b_ax)
     # check_vma off: the ppermute + masked-psum pattern defeats the static
-    # replication checker (outputs ARE uniform across the mesh — the psum
+    # replication checker (outputs ARE uniform over 'axis' — the psum
     # broadcast guarantees it)
     return jax.shard_map(
         pp, mesh=mesh,
-        in_specs=(P(axis), P(), P()),
-        out_specs=P(),
+        in_specs=(P(axis), act_spec, act_spec),
+        out_specs=act_spec,
         check_vma=False,
     )(block_params, h_mb, c_mb)
 
@@ -168,6 +175,10 @@ def dit_apply_pipelined(params, cfg: DiTConfig, x, t, y, *, mesh: Mesh,
     M = n_microbatches
     if B % M:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
+    if "data" in mesh.shape and (B // M) % mesh.shape["data"]:
+        raise ValueError(
+            f"microbatch size {B // M} not divisible by the data axis "
+            f"({mesh.shape['data']}) for dp x pp")
     h, c = dit_embed(params, cfg, x, t, y, cond_keep)
     mb = B // M
     h_mb = h.reshape(M, mb, *h.shape[1:])
