@@ -68,3 +68,39 @@ def test_ring_attention_rejects_indivisible_tokens():
     mesh = make_mesh({"seq": 8})
     with pytest.raises(ValueError, match="divisible"):
         ring_attention(q, k, v, mesh=mesh)
+
+
+def test_sequence_parallel_context_routes_model_attention():
+    """The sequence_parallel context reroutes the shared attention
+    dispatcher (so DiT/SD forwards become token-sharded with no model
+    changes), and the model output is unchanged."""
+    from uurg_tpu.models.dit import DiTConfig, init_dit
+    from uurg_tpu.parallel import sequence_parallel
+    from uurg_tpu.parallel import sequence as seq_mod
+
+    cfg = DiTConfig(input_size=8, patch_size=2, in_channels=4,
+                    hidden_size=32, depth=2, num_heads=4, num_classes=10,
+                    dtype=jnp.float32)  # T = 16 tokens
+    model, params = init_dit(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 8, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    y = jnp.zeros((2,), jnp.int32)
+    ref = model.apply({"params": params}, x, t, y)
+
+    calls = []
+    orig = seq_mod.ring_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    mesh = make_mesh({"seq": 8})
+    seq_mod.ring_attention = spy
+    try:
+        with sequence_parallel(mesh):
+            out = model.apply({"params": params}, x, t, y)
+    finally:
+        seq_mod.ring_attention = orig
+    assert len(calls) == cfg.depth  # every block's attention took the ring
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -202,6 +202,16 @@ def attention(q, k, v, *, use_pallas: bool | None = None,
     (or T not 128-aligned, e.g. CLIP's 77 tokens) falls back to XLA.
     """
     B, H, T, D = q.shape
+    # sequence-parallel context (parallel/sequence.py): tokens sharded over
+    # a mesh axis, ring attention instead of the single-chip kernel
+    from uurg_tpu.parallel.sequence import (active_sequence_parallel,
+                                            ring_attention)
+    sp = active_sequence_parallel()
+    if sp is not None:
+        mesh, axis, batch_axis = sp
+        if T % mesh.shape[axis] == 0:
+            return ring_attention(q, k, v, mesh=mesh, axis=axis,
+                                  batch_axis=batch_axis)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and T % 128 == 0
     if not use_pallas:

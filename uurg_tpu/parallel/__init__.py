@@ -15,4 +15,4 @@ from uurg_tpu.parallel.pipeline import (
     pipeline_blocks,
     shard_params_pp,
 )
-from uurg_tpu.parallel.sequence import ring_attention
+from uurg_tpu.parallel.sequence import ring_attention, sequence_parallel

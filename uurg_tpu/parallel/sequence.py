@@ -23,9 +23,34 @@ the k/v chunk matmuls stay in the input dtype on the MXU.
 """
 from __future__ import annotations
 
+import contextlib
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+
+_ACTIVE_SP: list[tuple] = []
+
+
+@contextlib.contextmanager
+def sequence_parallel(mesh: Mesh, axis: str = "seq",
+                      batch_axis: str = "data"):
+    """Route every uurg_tpu attention call traced inside this context
+    through :func:`ring_attention` (models call the
+    ops.flash_attention.attention dispatcher, which consults this).
+
+    Trace-time state: enter the context around the step CALLS so the first
+    trace of each jitted step happens inside it (recompilation outside the
+    context falls back to the single-chip kernel)."""
+    _ACTIVE_SP.append((mesh, axis, batch_axis))
+    try:
+        yield
+    finally:
+        _ACTIVE_SP.pop()
+
+
+def active_sequence_parallel() -> tuple | None:
+    return _ACTIVE_SP[-1] if _ACTIVE_SP else None
 
 
 def ring_attention(q, k, v, *, mesh: Mesh, axis: str = "seq",
