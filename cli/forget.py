@@ -57,6 +57,10 @@ def parse_args():
                         "(docs/SCALING.md)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="pipeline microbatches (pp only); 0 = stage count")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per update "
+                        "(effective batch = grad_accum x batch size at the "
+                        "activation memory of one batch)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the run there "
                         "(TensorBoard/Perfetto); empty = off")
@@ -214,6 +218,7 @@ def main():
             mesh=mesh,
             parallelism=args.parallelism,
             pp_microbatches=args.pp_microbatches or None,
+            grad_accum=args.grad_accum,
         )
     print(f"done: {ckpt_dir}")
 

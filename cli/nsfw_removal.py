@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--mesh", type=str, default="",
                    help="multi-chip mesh spec, e.g. 'data=4,model=2'; "
                         "empty = single-chip")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="gradient-accumulation microbatches per update "
+                        "(effective batch = grad_accum x batch_size at the "
+                        "activation memory of one batch)")
     p.add_argument("--parallelism", type=str, default="dp",
                    choices=["dp", "fsdp", "tp"],
                    help="param sharding over the mesh 'model' axis "
@@ -137,7 +141,8 @@ def main():
             forget_alpha=args.forget_alpha, remain_alpha=args.remain_alpha,
             seed=args.seed, snapshot_hook=snapshot,
             snapshot_freq=args.snapshot_freq,
-            mesh=mesh, parallelism=args.parallelism)
+            mesh=mesh, parallelism=args.parallelism,
+            grad_accum=args.grad_accum)
     save_checkpoint(os.path.join(args.save_path, "final"), final)
     print(f"done: {args.save_path}")
 

@@ -18,16 +18,48 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path: str, tree: Any, metadata: dict | None = None) -> None:
-    """Save a pytree checkpoint at ``path`` (directory)."""
+# in-flight async saves: (checkpointer, path, metadata) triples awaiting
+# finalization — drained by wait_for_saves()
+_PENDING: list = []
+
+
+def save_checkpoint(path: str, tree: Any, metadata: dict | None = None,
+                    block: bool = True) -> None:
+    """Save a pytree checkpoint at ``path`` (directory).
+
+    ``block=False`` returns as soon as the host snapshot is taken and lets
+    Orbax write in a background thread — the training loop keeps stepping
+    while the 3.4GB SD-UNet state streams to disk. The device->host
+    ``device_get`` still happens eagerly (the snapshot must not see later
+    updates); call :func:`wait_for_saves` (or the next blocking save) to
+    flush. Metadata sidecars are written at finalization time, never into
+    Orbax's in-progress tmp dir."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    host_tree = jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+    # np.asarray is a no-copy view over host-numpy leaves; the async path
+    # needs a real snapshot (np.array copies) so later in-place mutation by
+    # the caller can't leak into the in-flight write
+    leaf_copy = np.asarray if block else (lambda x: np.array(x))
+    host_tree = jax.tree_util.tree_map(leaf_copy, jax.device_get(tree))
     ckptr.save(path, host_tree, force=True)
+    if not block:
+        _PENDING.append((ckptr, path, metadata))
+        return
     ckptr.wait_until_finished()
     if metadata is not None:
         with open(os.path.join(path, "uurg_metadata.json"), "w") as f:
             json.dump(metadata, f, indent=2, default=str)
+
+
+def wait_for_saves() -> None:
+    """Block until every ``save_checkpoint(..., block=False)`` has landed
+    on disk (and write their metadata sidecars)."""
+    while _PENDING:
+        ckptr, path, metadata = _PENDING.pop()
+        ckptr.wait_until_finished()
+        if metadata is not None:
+            with open(os.path.join(path, "uurg_metadata.json"), "w") as f:
+                json.dump(metadata, f, indent=2, default=str)
 
 
 def is_checkpoint_dir(path: str) -> bool:

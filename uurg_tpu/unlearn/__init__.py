@@ -9,4 +9,5 @@ from uurg_tpu.unlearn.saliency import (
     mask_sparsity,
 )
 from uurg_tpu.unlearn.ema import ema_update, fast_slow_mix
-from uurg_tpu.unlearn.sfron import SFRonConfig, SFRonState, make_sfron_step
+from uurg_tpu.unlearn.sfron import (SFRonConfig, SFRonState, make_sfron_step,
+                                    stack_microbatches)

@@ -52,6 +52,7 @@ class SFRonConfig:
     method: str = "ron"                # ron | joint
     ema_mu: Optional[float] = None     # DDPM/DiT shadow-EMA rate
     fast_slow_beta: Optional[float] = None  # classification mixing beta
+    grad_accum: int = 1                # microbatches accumulated per update
 
 
 @jax.tree_util.register_dataclass
@@ -154,10 +155,52 @@ def make_sfron_step(
                 return loss_fn(params, mstate, batch, key)
             return loss_fn(params, batch, key), mstate
 
+        n_accum = max(int(cfg.grad_accum), 1)
+
+        def vag(loss_fn, params, mstate, batch, key):
+            """(loss, grads, new_mstate), with microbatch accumulation.
+
+            With ``grad_accum > 1`` the batch leaves carry a leading
+            [grad_accum] axis (see :func:`stack_microbatches`); a lax.scan
+            sums losses and f32 gradients over the microbatches and divides
+            by the count — identical to one big batch for mean-reduced
+            losses, at 1/grad_accum of the activation memory. The RNG folds
+            in the microbatch index so every slice draws fresh
+            noise/timesteps; model_state (BN stats) threads sequentially,
+            like consecutive host steps would. One optimizer update per
+            step either way.
+            """
+            if n_accum == 1:
+                (loss, mstate), grads = jax.value_and_grad(
+                    lambda p: eval_loss(loss_fn, p, mstate, batch, key),
+                    has_aux=True)(params)
+                return loss, grads, mstate
+
+            gz = jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, jnp.float32), params)
+
+            def body(carry, xs):
+                ms, lsum, gsum = carry
+                mb, i = xs
+                (l, ms), g = jax.value_and_grad(
+                    lambda p: eval_loss(loss_fn, p, ms, mb,
+                                        jax.random.fold_in(key, i)),
+                    has_aux=True)(params)
+                gsum = jax.tree_util.tree_map(
+                    lambda a, b: a + b.astype(jnp.float32), gsum, g)
+                return (ms, lsum + l, gsum), None
+
+            (mstate, lsum, gsum), _ = jax.lax.scan(
+                body, (mstate, jnp.zeros((), jnp.float32), gz),
+                (batch, jnp.arange(n_accum)))
+            inv = 1.0 / n_accum
+            grads = jax.tree_util.tree_map(
+                lambda g, p: (g * inv).astype(p.dtype), gsum, params)
+            return lsum * inv, grads, mstate
+
         def forget_grads(params, mstate):
-            (loss, mstate), grads = jax.value_and_grad(
-                lambda p: eval_loss(forget_loss_fn, p, mstate, forget_batch,
-                                    k_forget), has_aux=True)(params)
+            loss, grads, mstate = vag(forget_loss_fn, params, mstate,
+                                      forget_batch, k_forget)
             grads = tr.tree_scale(grads, cur_alpha)
             if mask is not None:
                 grads = tr.tree_mul(grads, mask)
@@ -177,9 +220,8 @@ def make_sfron_step(
                 state.params, opt_state, state.model_state,
                 jnp.zeros((), jnp.float32))
 
-            (remain_loss, mstate), rgrads = jax.value_and_grad(
-                lambda p: eval_loss(remain_loss_fn, p, mstate, remain_batch,
-                                    k_remain), has_aux=True)(params)
+            remain_loss, rgrads, mstate = vag(remain_loss_fn, params,
+                                              mstate, remain_batch, k_remain)
             rgrads = tr.tree_scale(rgrads, cfg.remain_alpha)
             params, opt_state, rnorm = scaled_update(
                 rgrads, opt_state, params, cfg.remain_clip)
@@ -204,9 +246,8 @@ def make_sfron_step(
                 params, opt_state, mstate, forget_loss = do_forget(
                     (state.params, opt_state, state.model_state))
 
-            (remain_loss, mstate), rgrads = jax.value_and_grad(
-                lambda p: eval_loss(remain_loss_fn, p, mstate, remain_batch,
-                                    k_remain), has_aux=True)(params)
+            remain_loss, rgrads, mstate = vag(remain_loss_fn, params,
+                                              mstate, remain_batch, k_remain)
             rgrads = tr.tree_scale(rgrads, cfg.remain_alpha)
             params, opt_state, rnorm = scaled_update(
                 rgrads, opt_state, params, cfg.remain_clip)
@@ -216,15 +257,17 @@ def make_sfron_step(
             # reference's joint branch applies the mask to stale gradients
             # (DDPM/runners/diffusion.py:1162-1167 masks before backward);
             # we implement the intended semantics: mask the combined grads.
-            def joint_loss(params):
-                fl, ms = eval_loss(forget_loss_fn, params, state.model_state,
-                                   forget_batch, k_forget)
-                rl, ms = eval_loss(remain_loss_fn, params, ms,
-                                   remain_batch, k_remain)
-                return cur_alpha * fl + cfg.remain_alpha * rl, (fl, rl, ms)
-
-            (_, (forget_loss, remain_loss, mstate)), grads = (
-                jax.value_and_grad(joint_loss, has_aux=True)(state.params))
+            # Gradients are linear, so grad(a*fl + r*rl) computed as two
+            # value_and_grads at the SAME params equals the combined
+            # backward — and composes with microbatch accumulation for free.
+            forget_loss, fgrads, mstate = vag(
+                forget_loss_fn, state.params, state.model_state,
+                forget_batch, k_forget)
+            remain_loss, rgrads, mstate = vag(
+                remain_loss_fn, state.params, mstate, remain_batch, k_remain)
+            grads = jax.tree_util.tree_map(
+                lambda a, b: cur_alpha * a + cfg.remain_alpha * b,
+                fgrads, rgrads)
             if mask is not None:
                 grads = tr.tree_mul(grads, mask)
             params, opt_state, rnorm = scaled_update(
@@ -259,6 +302,26 @@ def make_sfron_step(
     if not jit:
         return step_fn
     return jax.jit(step_fn, donate_argnums=donate_argnums)
+
+
+def stack_microbatches(batches, n: int):
+    """Wrap a batch iterator for ``SFRonConfig.grad_accum=n``: each yield
+    stacks ``n`` consecutive batches along a new leading axis, so the step
+    sees leaves of shape [n, batch, ...] and scans over them. Effective
+    batch = n x batch_size at the activation memory of ONE batch — how the
+    860M SD UNet trains at reference-scale effective batches on a single
+    16GB chip."""
+    if n <= 1:
+        yield from batches
+        return
+    while True:
+        group = []
+        for _ in range(n):
+            try:
+                group.append(next(batches))
+            except StopIteration:  # finite iterator: drop the ragged tail
+                return
+        yield jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group)
 
 
 def make_sfron_scan(cfg, optimizer, forget_loss_fn, remain_loss_fn,

@@ -28,7 +28,8 @@ from uurg_tpu.data import (
     random_flip_batch,
     synthetic_dataset,
 )
-from uurg_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from uurg_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
+                                    wait_for_saves)
 from uurg_tpu.train import build_reference_optimizer
 from uurg_tpu.unlearn import (
     SFRonConfig,
@@ -396,9 +397,13 @@ def sa_forget(args, config, ckpt_dir: str):
         if (i + 1) % config.training.log_freq == 0:
             log.info("step %d loss %.4f", i, float(loss))
         if (i + 1) % config.training.snapshot_freq == 0:
+            # flush any in-flight save of this same path, then overlap the
+            # new one with the next snapshot_freq training steps
+            wait_for_saves()
             save_checkpoint(os.path.join(ckpt_dir, "ckpt"),
                             {"params": params, "ema_params": ema,
-                             "step": jnp.asarray(i)})
+                             "step": jnp.asarray(i)}, block=False)
+    wait_for_saves()
     save_checkpoint(os.path.join(ckpt_dir, "ckpt"),
                     {"params": params, "ema_params": ema,
                      "step": jnp.asarray(config.training.n_iters)})

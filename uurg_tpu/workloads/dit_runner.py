@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uurg_tpu.io.checkpoint import restore_checkpoint, save_checkpoint
+from uurg_tpu.io.checkpoint import (restore_checkpoint, save_checkpoint,
+                                    wait_for_saves)
 from uurg_tpu.train import make_optimizer
 from uurg_tpu.unlearn import (
     SFRonConfig,
@@ -58,6 +59,7 @@ def dit_forget(
     parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (over mesh axis
                                # 'model') | "pp" (pipeline over 'stage')
     pp_microbatches: int | None = None,  # pp only; default = stage count
+    grad_accum: int = 1,       # microbatches per optimizer update
 ):
     """SFR-on for DiT (DiT/forget.py:256-345): masked ascent + remain descent
     + update_ema, one jit. ``ema_decay`` follows DiT's update_ema (shadow =
@@ -74,11 +76,15 @@ def dit_forget(
         alpha_sched="cosine" if decay_forget_alpha else "const",
         forget_freq=1,
         forget_clip=grad_clip, remain_clip=None, method=method,
-        ema_mu=ema_decay,
+        ema_mu=ema_decay, grad_accum=grad_accum,
     )
     step = make_sfron_step(cfg, opt,
                            wl.forget_loss_fn(unlearn_loss, label_to_forget),
                            wl.train_loss_fn())
+    if grad_accum > 1:  # effective batch = grad_accum x batch_size
+        from uurg_tpu.unlearn import stack_microbatches
+        forget_batches = stack_microbatches(forget_batches, grad_accum)
+        remain_batches = stack_microbatches(remain_batches, grad_accum)
     state = init_state(params, opt, ema=True, mask=mask)
     start_step = 0
     if ckpt_dir:
@@ -169,12 +175,19 @@ def dit_forget(
         if sample_hook is not None and (i + 1) % snapshot_freq == 0:
             sample_hook(state, i)
         if ckpt_dir and (i + 1) % ckpt_freq == 0:
+            # flush the previous async save first (a still-in-flight write
+            # to train_state must not race its own replacement), then let
+            # this one stream to disk while training continues
+            wait_for_saves()
             save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{i:07d}"),
-                            {"model": state.params, "ema": state.ema_params})
+                            {"model": state.params, "ema": state.ema_params},
+                            block=False)
             save_checkpoint(os.path.join(ckpt_dir, "train_state"),
                             {"step": state.step, "params": state.params,
                              "opt_state": state.opt_state,
-                             "ema_params": state.ema_params})
+                             "ema_params": state.ema_params},
+                            block=False)
+    wait_for_saves()
     if ckpt_dir:
         save_checkpoint(os.path.join(ckpt_dir, "final"),
                         {"model": state.params, "ema": state.ema_params})

@@ -21,7 +21,8 @@ import optax
 from uurg_tpu.models.autoencoder_kl import AutoencoderKL
 from uurg_tpu.models.sd_unet import train_method_leaf_mask
 from uurg_tpu.train import make_optimizer
-from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
+from uurg_tpu.unlearn import (SFRonConfig, make_sfron_step,
+                              stack_microbatches)
 from uurg_tpu.unlearn.sfron import init_state
 from uurg_tpu.workloads.sd import SDWorkload
 
@@ -75,6 +76,7 @@ def nsfw_removal(
     mesh=None,                 # jax.sharding.Mesh for multi-chip training
     parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (SD_TP_RULES +
                                # fsdp fallback for convs; docs/SCALING.md)
+    grad_accum: int = 1,       # microbatches per optimizer update
 ):
     """SFR-on concept erasure (SD/train-scripts/nsfw_removal.py:38-214).
 
@@ -84,9 +86,13 @@ def nsfw_removal(
     opt = _method_optimizer(unet_params, train_method, lr)
     cfg = SFRonConfig(n_iters=n_iters, forget_alpha=forget_alpha,
                       remain_alpha=remain_alpha, alpha_sched="const",
-                      forget_clip=None, remain_clip=None)
+                      forget_clip=None, remain_clip=None,
+                      grad_accum=grad_accum)
     step = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
                            wl.shared_step_loss)
+    if grad_accum > 1:  # effective batch = grad_accum x batch_size
+        forget_batches = stack_microbatches(forget_batches, grad_accum)
+        remain_batches = stack_microbatches(remain_batches, grad_accum)
     state = init_state(unet_params, opt, mask=saliency_mask)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
