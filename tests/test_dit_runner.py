@@ -190,3 +190,34 @@ def test_dit_forget_pipeline_parallel_matches_single(tmp_path):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_dit_forget_mesh_grad_accum_matches_single(wl):
+    """grad_accum>1 under a data mesh: the stacked batches are
+    [grad_accum, B, ...], so the REAL batch axis (dim 1) must shard over
+    'data' (P(None, 'data')) while the scanned microbatch axis stays whole
+    per device. Regression: sharding dim 0 either crashed (grad_accum not
+    divisible by mesh) or silently replicated the batch. The mesh run must
+    equal the meshless run batch-for-batch."""
+    from uurg_tpu.parallel import make_mesh
+
+    params = wl.init_params(jax.random.key(0))
+    kw = dict(n_iters=2, lr=1e-4, forget_alpha=1e-2, unlearn_loss="ga",
+              label_to_forget=0, seed=0, log_freq=100, grad_accum=2)
+    ref = dit_runner.dit_forget(
+        wl, params, _batches(jax.random.key(1), 0),
+        _batches(jax.random.key(2), 3), **kw)
+
+    # data=4 does NOT divide grad_accum=2 — the old leading-dim sharding
+    # crashed here; the fixed P(None, 'data') placement shards B=4 cleanly
+    mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+    dp = dit_runner.dit_forget(
+        wl, params, _batches(jax.random.key(1), 0),
+        _batches(jax.random.key(2), 3), mesh=mesh, parallelism="dp", **kw)
+    assert int(dp.step) == 2
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(ref.params),
+            jax.tree_util.tree_leaves(dp.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))

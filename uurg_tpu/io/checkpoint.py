@@ -18,9 +18,23 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
-# in-flight async saves: (checkpointer, path, metadata) triples awaiting
-# finalization — drained by wait_for_saves()
+# in-flight async saves: (path, metadata) pairs awaiting finalization —
+# drained by wait_for_saves() or the next blocking save_checkpoint
 _PENDING: list = []
+
+# ONE module-level checkpointer (an AsyncCheckpointer with its own background
+# thread pool) reused for every save/restore: per-call construction leaked a
+# thread pool per snapshot on long runs, and two checkpointers writing the
+# same directory (async save + blocking re-save) could race Orbax's
+# tmp-dir finalization
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
 
 
 def save_checkpoint(path: str, tree: Any, metadata: dict | None = None,
@@ -31,11 +45,15 @@ def save_checkpoint(path: str, tree: Any, metadata: dict | None = None,
     Orbax write in a background thread — the training loop keeps stepping
     while the 3.4GB SD-UNet state streams to disk. The device->host
     ``device_get`` still happens eagerly (the snapshot must not see later
-    updates); call :func:`wait_for_saves` (or the next blocking save) to
-    flush. Metadata sidecars are written at finalization time, never into
-    Orbax's in-progress tmp dir."""
+    updates); call :func:`wait_for_saves` (or the next blocking save, which
+    drains every pending async save first) to flush. Metadata sidecars are
+    written at finalization time, never into Orbax's in-progress tmp dir."""
     path = os.path.abspath(path)
-    ckptr = ocp.StandardCheckpointer()
+    if block:
+        # never two writers on one directory: an in-flight async save of
+        # this (or any) path must land before a blocking overwrite starts
+        wait_for_saves()
+    ckptr = _checkpointer()
     # np.asarray is a no-copy view over host-numpy leaves; the async path
     # needs a real snapshot (np.array copies) so later in-place mutation by
     # the caller can't leak into the in-flight write
@@ -43,7 +61,7 @@ def save_checkpoint(path: str, tree: Any, metadata: dict | None = None,
     host_tree = jax.tree_util.tree_map(leaf_copy, jax.device_get(tree))
     ckptr.save(path, host_tree, force=True)
     if not block:
-        _PENDING.append((ckptr, path, metadata))
+        _PENDING.append((path, metadata))
         return
     ckptr.wait_until_finished()
     if metadata is not None:
@@ -54,9 +72,10 @@ def save_checkpoint(path: str, tree: Any, metadata: dict | None = None,
 def wait_for_saves() -> None:
     """Block until every ``save_checkpoint(..., block=False)`` has landed
     on disk (and write their metadata sidecars)."""
+    if _PENDING:
+        _checkpointer().wait_until_finished()
     while _PENDING:
-        ckptr, path, metadata = _PENDING.pop()
-        ckptr.wait_until_finished()
+        path, metadata = _PENDING.pop()
         if metadata is not None:
             with open(os.path.join(path, "uurg_metadata.json"), "w") as f:
                 json.dump(metadata, f, indent=2, default=str)
@@ -101,7 +120,7 @@ def restore_checkpoint(path: str, target: Any | None = None) -> Any:
     ``path`` may be the checkpoint dir or any of the containing layouts
     ``resolve_checkpoint_dir`` understands."""
     path = resolve_checkpoint_dir(os.path.abspath(path))
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if target is not None:
         host_target = jax.tree_util.tree_map(np.asarray,
                                              jax.device_get(target))

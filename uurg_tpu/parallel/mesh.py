@@ -85,15 +85,21 @@ def _resolve_axis(mesh: Mesh, axis: str) -> str | None:
     return best
 
 
-def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Sharding for batch-leading arrays: first dim over the data axis.
+def batch_sharding(mesh: Mesh, axis: str = "data",
+                   batch_dim: int = 0) -> NamedSharding:
+    """Sharding for batch-leading arrays: ``batch_dim`` over the data axis.
+
+    ``batch_dim`` > 0 covers grad-accumulation stacks whose leaves are
+    [grad_accum, batch, ...]: the microbatch axis (scanned over INSIDE the
+    step, must stay whole per device) is replicated and the true batch axis
+    shards — ``batch_dim=1`` gives P(None, 'data').
 
     On a mesh without a ``data`` axis (pure tensor parallelism, e.g.
     ``--mesh model=8``) the batch is replicated — each chip holds the full
     batch and the sharded params produce sharded activations."""
     if axis not in mesh.shape:
         return NamedSharding(mesh, P())
-    return NamedSharding(mesh, P(axis))
+    return NamedSharding(mesh, P(*([None] * batch_dim), axis))
 
 
 def replicate(tree: PyTree, mesh: Mesh) -> PyTree:
@@ -102,9 +108,11 @@ def replicate(tree: PyTree, mesh: Mesh) -> PyTree:
     return jax.device_put(tree, sharding)
 
 
-def shard_batch(batch: PyTree, mesh: Mesh, axis: str = "data") -> PyTree:
-    """Shard every array in the batch along its leading dim."""
-    sharding = batch_sharding(mesh, axis)
+def shard_batch(batch: PyTree, mesh: Mesh, axis: str = "data",
+                batch_dim: int = 0) -> PyTree:
+    """Shard every array in the batch along its batch dim (default: the
+    leading dim; pass ``batch_dim=1`` for grad-accum-stacked batches)."""
+    sharding = batch_sharding(mesh, axis, batch_dim)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(jnp.asarray(x), sharding), batch
     )

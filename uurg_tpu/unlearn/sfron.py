@@ -311,6 +311,7 @@ def stack_microbatches(batches, n: int):
     batch = n x batch_size at the activation memory of ONE batch — how the
     860M SD UNet trains at reference-scale effective batches on a single
     16GB chip."""
+    batches = iter(batches)  # accept any iterable, not just iterators
     if n <= 1:
         yield from batches
         return

@@ -119,8 +119,12 @@ def nsfw_removal(
         elif parallelism != "dp":
             raise ValueError(f"unknown parallelism {parallelism!r}")
 
+        # grad-accum-stacked batches are [grad_accum, B, ...]: the scan axis
+        # stays whole per device and the TRUE batch axis (dim 1) shards
+        _bdim = 1 if grad_accum > 1 else 0
+
         def _place(b):
-            return shard_batch(b, mesh)
+            return shard_batch(b, mesh, batch_dim=_bdim)
     else:
         def _place(b):
             return b
