@@ -15,10 +15,20 @@ Also measured (round-3: regressions in ANY headline claim become visible):
   - dit_xl2_sfron_step_b16        steps/sec, DiT-XL/2 675M two-phase step
   - sd_unet_nsfw_step_b4_xattn    steps/sec, SD 860M nsfw_removal step
 
-Output: ONE JSON line — the headline metric dict {"metric", "value",
-"unit", "vs_baseline"} extended with an "all" array carrying every metric
-(same schema per entry; failed benches carry an "error" field instead of a
-value).
+Output (timeout-proof by design — a driver kill mid-run must never zero the
+round's perf record, BENCH_r03 post-mortem): the headline metric dict
+{"metric", "value", "unit", "vs_baseline", "flops_per_step", "mfu"} is
+printed as its own JSON line THE MOMENT the DDPM bench completes; a final
+combined line (same dict + an "all" array carrying every metric, failed
+benches recording an "error" field) follows when the suite finishes. The
+in-progress record is additionally mirrored to BENCH_partial.json after
+every bench. A ``--budget`` wall-clock guard (default 1200s, env
+BENCH_BUDGET_SEC) skips benches after the headline once exceeded
+(recorded as {"error": "budget"}) instead of being killed mid-bench.
+
+Every metric carries ``flops_per_step`` (XLA cost analysis of the exact
+compiled program) and ``mfu`` (flops/sec over the chip's peak bf16 rate) so
+"is it actually fast" is answerable per-workload from the JSON alone.
 
 ``vs_baseline`` divides our number by an ESTIMATED torch single-A100
 throughput (the reference publishes no wall-clock numbers — BASELINE.md);
@@ -68,9 +78,112 @@ def note(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def _metric(name, value, unit):
-    return {"metric": name, "value": round(value, 3), "unit": unit,
-            "vs_baseline": round(value / _EST[name], 3)}
+# peak dense bf16 FLOP/s per chip, keyed by device_kind substring (order
+# matters: 'v5 lite' before 'v5'). Sources: Google TPU system architecture
+# docs (v5e 197 TF, v5p 459 TF, v4 275 TF, v6e/Trillium 918 TF).
+_PEAK_BF16 = [
+    ("v6 lite", 918e12), ("v6e", 918e12),
+    ("v5 lite", 197e12), ("v5e", 197e12),
+    ("v5p", 459e12), ("v5", 459e12),
+    ("v4", 275e12), ("v3", 123e12), ("v2", 45e12),
+]
+
+
+def _chip_peak_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_BF16:
+        if key in kind:
+            return peak
+    return None
+
+
+def _aot(jitted, *args):
+    """AOT-compile a jitted fn for ``args``: (compiled_callable, flops).
+
+    ONE compile total (the timing loop calls the compiled object, never the
+    jit wrapper) and the exact program's FLOP count from XLA cost analysis —
+    no hand-derived roofline math."""
+    compiled = jitted.lower(*args).compile()
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        f = float(ca.get("flops", 0.0))
+        if f > 0:
+            flops = f
+    except Exception as e:
+        note(f"cost_analysis unavailable: {e!r}")
+    return compiled, flops
+
+
+def _sync(tree):
+    """Force REAL completion: fetch one scalar element through the host.
+
+    jax.block_until_ready has been observed to return early through the
+    axon TPU relay under load (round-4: a 300-iteration scan "finished" in
+    7 ms). A host fetch of a value data-dependent on the final state cannot
+    lie — the whole chain must have executed."""
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    return float(jnp.asarray(leaf).ravel()[0])
+
+
+def _abstract(tree):
+    """Arrays -> ShapeDtypeStructs (nothing allocated, nothing moved)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype)
+        if hasattr(a, "dtype") else a, tree)
+
+
+def _lowered_flops(fn, *args):
+    """FLOPs of one call of ``fn(*args)`` WITHOUT dispatching to the chip.
+
+    Used where the compiled program hides work from XLA cost analysis:
+    a lax.scan/while body is counted ONCE regardless of trip count, and
+    lax.cond counts BOTH branches — so specific sub-programs are costed
+    separately and recombined by the caller. Tries the free
+    Lowered.cost_analysis(); the axon TPU relay returns None there, so the
+    fallback compiles the SAME program on the host CPU backend (FLOPs are
+    platform-independent; the compile never touches the TPU). ``args`` may
+    be ShapeDtypeStruct trees."""
+    args = _abstract(args)
+
+    def flops_of(ca):
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        if not isinstance(ca, dict):
+            return None
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+
+    try:
+        f = flops_of(jax.jit(fn).lower(*args).cost_analysis())
+        if f:
+            return f
+    except Exception:
+        pass
+    try:
+        return flops_of(
+            jax.jit(fn, backend="cpu").lower(*args).compile().cost_analysis())
+    except Exception as e:
+        note(f"cpu-backend cost_analysis unavailable: {e!r}")
+        return None
+
+
+def _metric(name, value, unit, flops=None, calls_per_sec=None):
+    """``flops`` is per compiled call; ``calls_per_sec`` converts it to a
+    FLOP rate when one call != one unit of ``value`` (img/sec, it/sec)."""
+    m = {"metric": name, "value": round(value, 3), "unit": unit,
+         "vs_baseline": round(value / _EST[name], 3)}
+    if flops is not None:
+        rate = calls_per_sec if calls_per_sec is not None else value
+        m["flops_per_step"] = flops
+        peak = _chip_peak_flops()
+        if peak:
+            m["mfu"] = round(flops * rate / peak, 4)
+            if m["mfu"] > 1.0:  # physically impossible: timing didn't sync
+                m["timing_suspect"] = True
+    return m
 
 
 def _ddpm_workload(batch):
@@ -138,16 +251,17 @@ def bench_ddpm_sfron_step(batch=128, n_steps=30):
           jax.random.randint(jax.random.fold_in(kd, 2), (batch,), 1, 10))
 
     note("ddpm: compiling two-phase step...")
-    state, _ = step(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
+    step_c, flops = _aot(step, state, fb, rb, jax.random.key(3))
+    state, _ = step_c(state, fb, rb, jax.random.key(3))
+    _sync(state.params)
 
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, metrics = step(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
+        state, metrics = step_c(state, fb, rb, jax.random.key(3))
+    _sync(state.params)
     dt = time.perf_counter() - t0
     return _metric("ddpm_cifar10_sfron_two_phase_step_b128", n_steps / dt,
-                   "steps/sec")
+                   "steps/sec", flops=flops)
 
 
 def bench_ddim50_sampling(batch=128, n_rounds=3):
@@ -158,15 +272,21 @@ def bench_ddim50_sampling(batch=128, n_rounds=3):
     sampler = jax.jit(wl.make_sampler(num_steps=50, cond_scale=2.0))
     labels = jnp.arange(batch, dtype=jnp.int32) % 10
     note("ddim50: compiling sampler...")
-    out = sampler(params, labels, jax.random.key(1))
-    jax.block_until_ready(out)
+    sampler_c, flops = _aot(sampler, params, labels, jax.random.key(1))
+    out = sampler_c(params, labels, jax.random.key(1))
+    _sync(out)
     t0 = time.perf_counter()
     for i in range(n_rounds):
-        out = sampler(params, labels, jax.random.key(i))
-    jax.block_until_ready(out)
+        out = sampler_c(params, labels, jax.random.key(i))
+    _sync(out)
     dt = time.perf_counter() - t0
+    # the sampler is ONE lax.scan over the 50 timesteps and XLA cost
+    # analysis counts the body once — scale to the executed trip count
+    # (the non-loop prologue/epilogue is noise-gen + affine rescale, ~0)
+    if flops is not None:
+        flops *= 50
     return _metric("ddim50_cfg_sampling_b128", n_rounds * batch / dt,
-                   "imgs/sec")
+                   "imgs/sec", flops=flops, calls_per_sec=n_rounds / dt)
 
 
 def bench_classification(batch=256, chunk=50, n_chunks=6):
@@ -181,7 +301,8 @@ def bench_classification(batch=256, chunk=50, n_chunks=6):
     from uurg_tpu.train.optim import cosine_annealing
     from uurg_tpu.unlearn import SFRonConfig
     from uurg_tpu.unlearn.methods.classification import _device_batcher
-    from uurg_tpu.unlearn.sfron import init_state, make_sfron_scan
+    from uurg_tpu.unlearn.sfron import (init_state, make_sfron_scan,
+                                        make_sfron_step)
     from uurg_tpu.workloads.classification import Classifier
 
     model = ResNet18(dtype=jnp.bfloat16)
@@ -201,17 +322,44 @@ def bench_classification(batch=256, chunk=50, n_chunks=6):
               jnp.zeros((5000,), jnp.int32))
     r_data = (jnp.asarray(rng.integers(0, 255, (45000, 32, 32, 3), np.uint8)),
               jnp.asarray(rng.integers(0, 10, 45000).astype(np.int32)))
+    # honest executed-FLOPs per iteration: the chunk scan body is counted
+    # ONCE by XLA cost analysis AND its lax.cond (forget every 5th step)
+    # counts BOTH branches. Blend two free lowered-HLO costs instead:
+    # executed/it = remain-only + (full - remain-only)/forget_freq.
+    import dataclasses as _dc
+
+    step_full = make_sfron_step(cfg, opt, cls.neg_adaptive_ce_loss_fn(0.5),
+                                cls.ce_loss_fn(),
+                                lr_schedule=cosine_annealing(0.01, 1500),
+                                has_model_state=True, donate=False,
+                                jit=False)
+    cfg_off = _dc.replace(cfg, forget_alpha=0.0, alpha_sched="const")
+    step_off = make_sfron_step(cfg_off, opt, cls.neg_adaptive_ce_loss_fn(0.5),
+                               cls.ce_loss_fn(),
+                               lr_schedule=cosine_annealing(0.01, 1500),
+                               has_model_state=True, donate=False, jit=False)
+    s_abs = init_state(params, opt, model_state=batch_stats)
+    b_abs = (jnp.zeros((batch, 32, 32, 3), jnp.bfloat16),
+             jnp.zeros((batch,), jnp.int32))
+    fl_full = _lowered_flops(step_full, s_abs, b_abs, b_abs,
+                             jax.random.key(0))
+    fl_off = _lowered_flops(step_off, s_abs, b_abs, b_abs, jax.random.key(0))
+    flops_it = None
+    if fl_full and fl_off:
+        flops_it = fl_off + (fl_full - fl_off) / cfg.forget_freq
+
     state = init_state(params, opt, model_state=batch_stats)
     note("classification: compiling scan chunk...")
-    state, _ = run(state, f_data, r_data, jax.random.key(1))
-    jax.block_until_ready(state.params)
+    run_c, _ = _aot(run, state, f_data, r_data, jax.random.key(1))
+    state, _ = run_c(state, f_data, r_data, jax.random.key(1))
+    _sync(state.params)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
-        state, _ = run(state, f_data, r_data, jax.random.key(1))
-    jax.block_until_ready(state.params)
+        state, _ = run_c(state, f_data, r_data, jax.random.key(1))
+    _sync(state.params)
     dt = time.perf_counter() - t0
     return _metric("classification_sfron_b256", n_chunks * chunk / dt,
-                   "it/sec")
+                   "it/sec", flops=flops_it)
 
 
 def bench_evaluator(batch=256, n_batches=8):
@@ -220,21 +368,23 @@ def bench_evaluator(batch=256, n_batches=8):
     throughput only."""
     import numpy as np
 
-    from uurg_tpu.eval.inception import init_inception, make_extractor
+    from uurg_tpu.eval.inception import init_inception, preprocess
 
-    _, variables = init_inception(jax.random.key(0))
-    extract = make_extractor(variables)
-    imgs = np.random.default_rng(0).integers(
-        0, 255, (batch, 32, 32, 3), np.uint8)
+    model, variables = init_inception(jax.random.key(0))
+    run = jax.jit(lambda imgs: model.apply(variables, preprocess(imgs)))
+    imgs = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, (batch, 32, 32, 3), np.uint8))
     note("evaluator: compiling inception...")
-    extract(imgs)  # compile
+    run_c, flops = _aot(run, imgs)
+    _sync(run_c(imgs))
     t0 = time.perf_counter()
     for _ in range(n_batches):
-        out = extract(imgs)
+        out = run_c(imgs)
+    _sync(out)
     dt = time.perf_counter() - t0
-    del out
     return _metric("evaluator_inception_features_b256",
-                   n_batches * batch / dt, "imgs/sec")
+                   n_batches * batch / dt, "imgs/sec",
+                   flops=flops, calls_per_sec=n_batches / dt)
 
 
 def bench_dit_xl(batch=16, n_steps=10):
@@ -266,15 +416,44 @@ def bench_dit_xl(batch=16, n_steps=10):
           jnp.zeros((batch,), jnp.int32))
     rb = (jax.random.normal(jax.random.fold_in(kd, 1), (batch, 32, 32, 4)) * 0.2,
           jax.random.randint(jax.random.fold_in(kd, 2), (batch,), 1, 1000))
+    # model-FLOPs (MFU proper, excludes the full-remat recompute = HFU):
+    # the scan-over-depth program hides 27 of 28 blocks from XLA cost
+    # analysis. Cost tiny UNROLLED variants at depth 1 and 2 (the delta is
+    # exactly one block), extrapolate fwd = d1 + (d2-d1)*(depth-1), and
+    # take step = 2 phases x (1 fwd + 2 fwd-equivalent bwd) = 6 x fwd.
+    import dataclasses as _dc
+
+    from uurg_tpu.models.dit import DiT
+
+    def _fwd_flops_at_depth(d):
+        ucfg = _dc.replace(wl.cfg, scan_blocks=False, remat=False, depth=d)
+        m = DiT(ucfg)
+        sz, ch = wl.cfg.input_size, wl.cfg.in_channels
+        p_abs = jax.eval_shape(
+            lambda k: m.init(k, jnp.zeros((1, sz, sz, ch)),
+                             jnp.zeros((1,), jnp.int32),
+                             jnp.zeros((1,), jnp.int32)),
+            jax.random.key(0))["params"]
+        x_abs = jax.ShapeDtypeStruct((batch, sz, sz, ch), jnp.float32)
+        i_abs = jax.ShapeDtypeStruct((batch,), jnp.int32)
+        return _lowered_flops(
+            lambda p, x, t, y: m.apply({"params": p}, x, t, y),
+            p_abs, x_abs, i_abs, i_abs)
+
+    f1, f2 = _fwd_flops_at_depth(1), _fwd_flops_at_depth(2)
+    flops = 6 * (f1 + (f2 - f1) * (wl.cfg.depth - 1)) if f1 and f2 else None
+
     note("dit: compiling two-phase step...")
-    state, _ = step(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
+    step_c, _ = _aot(step, state, fb, rb, jax.random.key(3))
+    state, _ = step_c(state, fb, rb, jax.random.key(3))
+    _sync(state.params)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, _ = step(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
+        state, _ = step_c(state, fb, rb, jax.random.key(3))
+    _sync(state.params)
     dt = time.perf_counter() - t0
-    return _metric("dit_xl2_sfron_step_b16", n_steps / dt, "steps/sec")
+    return _metric("dit_xl2_sfron_step_b16", n_steps / dt, "steps/sec",
+                   flops=flops)
 
 
 def bench_sd(batch=4, n_steps=10):
@@ -304,14 +483,16 @@ def bench_sd(batch=4, n_steps=10):
     fb = (z, ctx_f, ctx_p)
     rb = (z, ctx_p)
     note("sd: compiling two-phase step...")
-    state, _ = step(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
+    step_c, flops = _aot(step, state, fb, rb, jax.random.key(3))
+    state, _ = step_c(state, fb, rb, jax.random.key(3))
+    _sync(state.params)
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, _ = step(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
+        state, _ = step_c(state, fb, rb, jax.random.key(3))
+    _sync(state.params)
     dt = time.perf_counter() - t0
-    return _metric("sd_unet_nsfw_step_b4_xattn", n_steps / dt, "steps/sec")
+    return _metric("sd_unet_nsfw_step_b4_xattn", n_steps / dt, "steps/sec",
+                   flops=flops)
 
 
 BENCHES = [
@@ -324,10 +505,31 @@ BENCHES = [
 ]
 
 
+HEADLINE = "ddpm_cifar10_sfron_two_phase_step_b128"
+_PARTIAL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_partial.json")
+
+
+def _combined(results):
+    headline = next(
+        (m for m in results if m.get("metric") == HEADLINE and "value" in m),
+        results[0] if results else {"metric": "none", "error": "no benches"})
+    out = dict(headline)
+    out["all"] = results
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated bench names (default: all)")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_SEC", "1200")),
+                    help="wall-clock budget (sec). The headline DDPM bench "
+                         "always runs; later benches are skipped once the "
+                         "budget is exceeded, recorded as error='budget' — "
+                         "a clean partial record beats a driver kill "
+                         "mid-bench (BENCH_r03: rc=124, parsed=null)")
     args = ap.parse_args()
     only = {s for s in args.only.split(",") if s}
 
@@ -335,9 +537,16 @@ def main():
 
     configure_rng("auto")  # rbg on TPU: the training-CLI default
 
+    t_start = time.perf_counter()
     results = []
     for name, fn in BENCHES:
         if only and name not in only:
+            continue
+        elapsed = time.perf_counter() - t_start
+        if results and elapsed > args.budget:
+            note(f"{name}: skipped — budget {args.budget:.0f}s exceeded "
+                 f"({elapsed:.0f}s elapsed)")
+            results.append({"metric": name, "error": "budget"})
             continue
         note(f"=== {name} ===")
         try:
@@ -346,19 +555,21 @@ def main():
             note(f"{name}: {m['value']} {m['unit']} "
                  f"({time.perf_counter() - t0:.0f}s incl. compile)")
             results.append(m)
+            # the headline lands on stdout THE MOMENT it exists: any later
+            # timeout/kill still leaves the driver a parseable perf line
+            if m.get("metric") == HEADLINE and "value" in m:
+                print(json.dumps(m), flush=True)
         except Exception as e:  # record the failure, keep benching
             note(f"{name} FAILED: {e!r}")
             results.append({"metric": name, "error": repr(e)})
+        try:  # mirror progress to disk (evidence survives a mid-run kill)
+            with open(_PARTIAL, "w") as f:
+                json.dump(_combined(results), f)
+        except OSError:
+            pass
         gc.collect()
 
-    headline = next(
-        (m for m in results
-         if m.get("metric") == "ddpm_cifar10_sfron_two_phase_step_b128"
-         and "value" in m),
-        results[0] if results else {"metric": "none", "error": "no benches"})
-    out = dict(headline)
-    out["all"] = results
-    print(json.dumps(out))
+    print(json.dumps(_combined(results)), flush=True)
 
 
 if __name__ == "__main__":

@@ -51,10 +51,11 @@ def parse_args():
                    help="multi-chip mesh spec, e.g. 'data=4,model=2' "
                         "(-1 fills remaining devices); empty = single-chip")
     p.add_argument("--parallelism", type=str, default="dp",
-                   choices=["dp", "fsdp", "tp", "pp"],
+                   choices=["dp", "fsdp", "tp", "pp", "sp"],
                    help="dp/fsdp/tp: param sharding over the mesh 'model' "
-                        "axis; pp: GPipe pipeline over a 'stage' axis "
-                        "(docs/SCALING.md)")
+                        "axis; pp: GPipe pipeline over a 'stage' axis; "
+                        "sp: ring-attention sequence parallelism over a "
+                        "'seq' axis (docs/SCALING.md)")
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="pipeline microbatches (pp only); 0 = stage count")
     p.add_argument("--grad_accum", type=int, default=1,

@@ -43,9 +43,10 @@ def parse_args():
                         "(effective batch = grad_accum x batch_size at the "
                         "activation memory of one batch)")
     p.add_argument("--parallelism", type=str, default="dp",
-                   choices=["dp", "fsdp", "tp"],
-                   help="param sharding over the mesh 'model' axis "
-                        "(docs/SCALING.md)")
+                   choices=["dp", "fsdp", "tp", "sp"],
+                   help="dp/fsdp/tp: param sharding over the mesh 'model' "
+                        "axis; sp: ring-attention sequence parallelism "
+                        "over a 'seq' axis (docs/SCALING.md)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the run there "
                         "(TensorBoard/Perfetto); empty = off")

@@ -1,0 +1,117 @@
+"""bench.py machinery tests (CPU, no real workloads).
+
+The round-3 post-mortem: bench.py printed its single JSON line only after
+ALL benches finished, so a driver timeout zeroed the whole round's perf
+record. These tests pin the timeout-proof contract: the headline metric is
+flushed to stdout the moment it exists, the --budget guard skips (never
+kills) later benches, every metric can carry flops/mfu, and the partial
+record mirrors to disk after every bench.
+"""
+import json
+
+import jax
+import jax.numpy as jnp
+
+import bench
+
+
+def test_aot_returns_compiled_and_flops():
+    c, flops = bench._aot(jax.jit(lambda x: x @ x), jnp.ones((16, 16)))
+    out = c(jnp.ones((16, 16)))
+    assert out.shape == (16, 16)
+    # XLA CPU cost analysis reports flops for a matmul; allow None only if
+    # the backend genuinely refuses (then mfu is simply omitted)
+    assert flops is None or flops >= 2 * 16 * 16 * 16 * 0.5
+
+
+def test_metric_carries_mfu_fields():
+    m = bench._metric("ddpm_cifar10_sfron_two_phase_step_b128", 10.0,
+                      "steps/sec", flops=1e9)
+    assert m["flops_per_step"] == 1e9
+    if bench._chip_peak_flops():  # only on recognized TPU chips
+        assert 0 < m["mfu"] < 1
+
+
+def test_main_flushes_headline_then_budget_skips(monkeypatch, capsys,
+                                                 tmp_path):
+    calls = []
+
+    def fake_headline():
+        calls.append("h")
+        return {"metric": bench.HEADLINE, "value": 12.3, "unit": "steps/sec",
+                "vs_baseline": 4.1}
+
+    def fake_slow():
+        calls.append("slow")
+        return {"metric": "other", "value": 1.0, "unit": "x",
+                "vs_baseline": 1.0}
+
+    monkeypatch.setattr(bench, "BENCHES",
+                        [("ddpm", fake_headline), ("b2", fake_slow),
+                         ("b3", fake_slow)])
+    monkeypatch.setattr(bench, "_PARTIAL", str(tmp_path / "partial.json"))
+    monkeypatch.setattr("sys.argv", ["bench.py", "--budget", "0"])
+    bench.main()
+
+    assert calls == ["h"]  # budget=0: everything after the headline skipped
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 2
+    first, last = json.loads(lines[0]), json.loads(lines[-1])
+    assert first["metric"] == bench.HEADLINE and first["value"] == 12.3
+    assert "all" not in first  # the immediate flush is the bare headline
+    assert last["metric"] == bench.HEADLINE and len(last["all"]) == 3
+    assert [m.get("error") for m in last["all"]] == [None, "budget", "budget"]
+    with open(tmp_path / "partial.json") as f:
+        assert json.load(f)["value"] == 12.3
+
+
+def test_main_records_failures_and_still_prints(monkeypatch, capsys,
+                                                tmp_path):
+    def boom():
+        raise RuntimeError("no chip")
+
+    monkeypatch.setattr(bench, "BENCHES", [("ddpm", boom)])
+    monkeypatch.setattr(bench, "_PARTIAL", str(tmp_path / "partial.json"))
+    monkeypatch.setattr("sys.argv", ["bench.py"])
+    bench.main()
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    out = json.loads(lines[-1])
+    assert out["all"][0]["error"].startswith("RuntimeError")
+
+
+def test_render_bench_table(tmp_path):
+    """scripts/render_bench_table.py rewrites the README marker block from
+    a bench record (generated perf table — no hand-typed numbers)."""
+    import subprocess
+    import sys
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rec = {"n": 4, "rc": 0, "parsed": {
+        "metric": bench.HEADLINE, "value": 13.7, "unit": "steps/sec",
+        "vs_baseline": 4.6, "flops_per_step": 8.7e12, "mfu": 0.61,
+        "all": [
+            {"metric": bench.HEADLINE, "value": 13.7, "unit": "steps/sec",
+             "vs_baseline": 4.6, "flops_per_step": 8.7e12, "mfu": 0.61},
+            {"metric": "sd_unet_nsfw_step_b4_xattn", "error": "budget"},
+        ]}}
+    jpath = tmp_path / "BENCH_r99.json"
+    jpath.write_text(json.dumps(rec))
+    readme = tmp_path / "README.md"
+    readme.write_text("# x\n<!-- BENCH_TABLE:BEGIN -->\nstale\n"
+                      "<!-- BENCH_TABLE:END -->\ntail\n")
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/render_bench_table.py"),
+         "--json", str(jpath), "--readme", str(readme)],
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0, out.stderr
+    text = readme.read_text()
+    assert "13.7 steps/sec" in text and "61.0%" in text
+    assert "not run (budget)" in text
+    assert "stale" not in text and "tail" in text
+    # --check: up to date now
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/render_bench_table.py"),
+         "--json", str(jpath), "--readme", str(readme), "--check"],
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode == 0, out.stderr

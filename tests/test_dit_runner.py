@@ -221,3 +221,40 @@ def test_dit_forget_mesh_grad_accum_matches_single(wl):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_dit_forget_sequence_parallel_matches_single(wl):
+    """End-to-end dit_forget under parallelism='sp': every attention in the
+    step rides ring attention over the 'seq' mesh axis (dp x sp mesh) and
+    the params after 2 steps match the plain single-device run."""
+    from uurg_tpu.parallel import make_mesh
+
+    params = wl.init_params(jax.random.key(0))
+    kw = dict(n_iters=2, lr=1e-4, forget_alpha=1e-2, unlearn_loss="adaga",
+              label_to_forget=0, seed=0, log_freq=100)
+    ref = dit_runner.dit_forget(
+        wl, params, _batches(jax.random.key(1), 0),
+        _batches(jax.random.key(2), 3), **kw)
+
+    mesh = make_mesh({"data": 2, "seq": 4})
+    sp = dit_runner.dit_forget(
+        wl, params, _batches(jax.random.key(1), 0),
+        _batches(jax.random.key(2), 3), mesh=mesh, parallelism="sp", **kw)
+    assert int(sp.step) == 2
+    for (path, a), b in zip(
+            jax.tree_util.tree_leaves_with_path(ref.params),
+            jax.tree_util.tree_leaves(sp.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_dit_forget_sp_requires_seq_axis(wl):
+    from uurg_tpu.parallel import make_mesh
+
+    params = wl.init_params(jax.random.key(0))
+    with pytest.raises(ValueError, match="seq"):
+        dit_runner.dit_forget(
+            wl, params, _batches(jax.random.key(1), 0),
+            _batches(jax.random.key(2), 3), n_iters=1,
+            mesh=make_mesh({"data": 8}), parallelism="sp")

@@ -189,3 +189,25 @@ def test_nsfw_removal_loop_under_tp_mesh(wl, unet_params):
         n_iters=2, lr=1e-4, train_method="xattn", snapshot_freq=10,
         mesh=mesh, parallelism="tp")
     assert _finite(out)
+
+
+def test_nsfw_removal_loop_under_sp_mesh(wl, unet_params):
+    """nsfw_removal under parallelism='sp': UNet self-attention (T=64/16)
+    and cross-attention (T_kv=8) both ring over the 'seq' axis; params
+    after 2 steps match the meshless run."""
+    from uurg_tpu.parallel import make_mesh
+
+    kw = dict(n_iters=2, lr=1e-4, train_method="xattn", snapshot_freq=10)
+    ref = sd_runner.nsfw_removal(
+        wl, unet_params,
+        _z_ctx_batches(jax.random.key(0), with_pseudo=True),
+        _z_ctx_batches(jax.random.key(1)), **kw)
+    out = sd_runner.nsfw_removal(
+        wl, unet_params,
+        _z_ctx_batches(jax.random.key(0), with_pseudo=True),
+        _z_ctx_batches(jax.random.key(1)),
+        mesh=make_mesh({"data": 2, "seq": 4}), parallelism="sp", **kw)
+    for a, b in zip(jax.tree_util.tree_leaves(ref),
+                    jax.tree_util.tree_leaves(out)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

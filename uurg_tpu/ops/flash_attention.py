@@ -209,7 +209,10 @@ def attention(q, k, v, *, use_pallas: bool | None = None,
     sp = active_sequence_parallel()
     if sp is not None:
         mesh, axis, batch_axis = sp
-        if T % mesh.shape[axis] == 0:
+        # BOTH token axes must divide by the seq axis: cross-attention K/V
+        # (e.g. 77 CLIP tokens vs T_q=4096 SD latents) falls back to the
+        # local kernel rather than failing the k/v shard placement
+        if T % mesh.shape[axis] == 0 and k.shape[2] % mesh.shape[axis] == 0:
             return ring_attention(q, k, v, mesh=mesh, axis=axis,
                                   batch_axis=batch_axis)
     if use_pallas is None:

@@ -7,6 +7,7 @@ label lists over a data mesh).
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 import time
@@ -58,6 +59,7 @@ def dit_forget(
     mesh=None,                 # jax.sharding.Mesh for multi-chip training
     parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (over mesh axis
                                # 'model') | "pp" (pipeline over 'stage')
+                               # | "sp" (ring attention over 'seq')
     pp_microbatches: int | None = None,  # pp only; default = stage count
     grad_accum: int = 1,       # microbatches per optimizer update
 ):
@@ -151,6 +153,18 @@ def dit_forget(
             wl.apply_fn = lambda p, x, t, y, keep: dit_apply_pipelined(
                 p, wl.cfg, x, t, y, mesh=mesh, n_microbatches=n_mb,
                 cond_keep=keep)
+        elif parallelism == "sp":
+            # sequence parallelism: every attention inside the step routes
+            # through ring attention (parallel/sequence.py) with tokens
+            # sharded over the 'seq' mesh axis — the sequence_parallel
+            # context wraps the training loop below so the step's FIRST
+            # trace happens inside it. Params stay replicated; the batch
+            # additionally shards over 'data' when that axis exists
+            # (dp x sp composition).
+            if "seq" not in mesh.shape:
+                raise ValueError(
+                    "parallelism='sp' needs a 'seq' mesh axis — pass e.g. "
+                    "--mesh seq=4 or --mesh data=2,seq=4")
         elif parallelism != "dp":
             raise ValueError(f"unknown parallelism {parallelism!r}")
 
@@ -164,33 +178,42 @@ def dit_forget(
         def _place(b):
             return b
 
+    if mesh is not None and parallelism == "sp":
+        from uurg_tpu.parallel import sequence_parallel
+
+        sp_ctx = sequence_parallel(mesh)
+    else:
+        sp_ctx = contextlib.nullcontext()
+
     key = jax.random.key(seed)
     start = time.time()
-    for i in range(start_step, n_iters):
-        state, metrics = step(state, _place(next(forget_batches)),
-                              _place(next(remain_batches)), key)
-        if (i + 1) % log_freq == 0:
-            jax.block_until_ready(state.params)
-            log.info("step %d forget %.4f remain %.4f (%.2f steps/s)",
-                     i, float(metrics["forget_loss"]),
-                     float(metrics["remain_loss"]),
-                     log_freq / (time.time() - start))
-            start = time.time()
-        if sample_hook is not None and (i + 1) % snapshot_freq == 0:
-            sample_hook(state, i)
-        if ckpt_dir and (i + 1) % ckpt_freq == 0:
-            # flush the previous async save first (a still-in-flight write
-            # to train_state must not race its own replacement), then let
-            # this one stream to disk while training continues
-            wait_for_saves()
-            save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{i:07d}"),
-                            {"model": state.params, "ema": state.ema_params},
-                            block=False)
-            save_checkpoint(os.path.join(ckpt_dir, "train_state"),
-                            {"step": state.step, "params": state.params,
-                             "opt_state": state.opt_state,
-                             "ema_params": state.ema_params},
-                            block=False)
+    with sp_ctx:
+        for i in range(start_step, n_iters):
+            state, metrics = step(state, _place(next(forget_batches)),
+                                  _place(next(remain_batches)), key)
+            if (i + 1) % log_freq == 0:
+                jax.block_until_ready(state.params)
+                log.info("step %d forget %.4f remain %.4f (%.2f steps/s)",
+                         i, float(metrics["forget_loss"]),
+                         float(metrics["remain_loss"]),
+                         log_freq / (time.time() - start))
+                start = time.time()
+            if sample_hook is not None and (i + 1) % snapshot_freq == 0:
+                sample_hook(state, i)
+            if ckpt_dir and (i + 1) % ckpt_freq == 0:
+                # flush the previous async save first (a still-in-flight
+                # write to train_state must not race its own replacement),
+                # then let this one stream to disk while training continues
+                wait_for_saves()
+                save_checkpoint(os.path.join(ckpt_dir, f"ckpt_{i:07d}"),
+                                {"model": state.params,
+                                 "ema": state.ema_params},
+                                block=False)
+                save_checkpoint(os.path.join(ckpt_dir, "train_state"),
+                                {"step": state.step, "params": state.params,
+                                 "opt_state": state.opt_state,
+                                 "ema_params": state.ema_params},
+                                block=False)
     wait_for_saves()
     if ckpt_dir:
         save_checkpoint(os.path.join(ckpt_dir, "final"),

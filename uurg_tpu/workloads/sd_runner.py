@@ -10,6 +10,7 @@ jitted, frozen forwards) — see ``encode_image_folder``.
 """
 from __future__ import annotations
 
+import contextlib
 import logging
 from typing import Callable, Iterator
 
@@ -76,6 +77,7 @@ def nsfw_removal(
     mesh=None,                 # jax.sharding.Mesh for multi-chip training
     parallelism: str = "dp",   # "dp" | "fsdp" | "tp" (SD_TP_RULES +
                                # fsdp fallback for convs; docs/SCALING.md)
+                               # | "sp" (ring attention over 'seq')
     grad_accum: int = 1,       # microbatches per optimizer update
 ):
     """SFR-on concept erasure (SD/train-scripts/nsfw_removal.py:38-214).
@@ -116,6 +118,18 @@ def nsfw_removal(
                     setattr(state, f, shard_params_tp(
                         getattr(state, f), mesh, SD_TP_RULES,
                         fallback="fsdp"))
+        elif parallelism == "sp":
+            # sequence parallelism: the SD UNet's 64x64-latent
+            # self-attention (T=4096) routes through ring attention with
+            # tokens sharded over 'seq' (parallel/sequence.py); the
+            # sequence_parallel context wraps the loop so the step traces
+            # inside it. Cross-attention K/V (77 text tokens) falls back to
+            # the local kernel automatically (T % seq != 0 guard in the
+            # dispatcher).
+            if "seq" not in mesh.shape:
+                raise ValueError(
+                    "parallelism='sp' needs a 'seq' mesh axis — pass e.g. "
+                    "--mesh seq=4 or --mesh data=2,seq=4")
         elif parallelism != "dp":
             raise ValueError(f"unknown parallelism {parallelism!r}")
 
@@ -128,16 +142,23 @@ def nsfw_removal(
     else:
         def _place(b):
             return b
+    if mesh is not None and parallelism == "sp":
+        from uurg_tpu.parallel import sequence_parallel
+
+        sp_ctx = sequence_parallel(mesh)
+    else:
+        sp_ctx = contextlib.nullcontext()
     key = jax.random.key(seed)
-    for i in range(n_iters):
-        state, metrics = step(state, _place(next(forget_batches)),
-                              _place(next(remain_batches)), key)
-        if (i + 1) % snapshot_freq == 0:
-            log.info("step %d forget %.4f remain %.4f", i,
-                     float(metrics["forget_loss"]),
-                     float(metrics["remain_loss"]))
-            if snapshot_hook:
-                snapshot_hook(state.params, i)
+    with sp_ctx:
+        for i in range(n_iters):
+            state, metrics = step(state, _place(next(forget_batches)),
+                                  _place(next(remain_batches)), key)
+            if (i + 1) % snapshot_freq == 0:
+                log.info("step %d forget %.4f remain %.4f", i,
+                         float(metrics["forget_loss"]),
+                         float(metrics["remain_loss"]))
+                if snapshot_hook:
+                    snapshot_hook(state.params, i)
     return state.params
 
 
