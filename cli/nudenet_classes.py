@@ -33,7 +33,12 @@ def main():
                         "not installed")
     args = p.parse_args()
 
-    if args.model_path:
+    if args.model_path.endswith(".npz"):
+        # recorded-tensor golden fixture: full decode path, no onnxruntime
+        from uurg_tpu.eval.nudenet import make_npz_detector
+
+        detect = make_npz_detector(args.model_path)
+    elif args.model_path:
         from uurg_tpu.eval.nudenet import make_onnx_detector
 
         detect = make_onnx_detector(args.model_path)

@@ -105,6 +105,40 @@ def decode_yolo_output(raw: np.ndarray, scale: float,
     return sorted(dets, key=lambda d: -d["score"])
 
 
+def make_npz_detector(npz_path: str, score_thresh: float = 0.2,
+                      size: int = 320):
+    """Recorded-tensor detector: a ``.npz`` mapping image basename -> raw
+    YOLO head output (1, 4+C, A) stands in for the ONNX session.
+
+    Everything EXCEPT the neural forward — image load, letterbox (scale/pad
+    computed from the real file), YOLOv8 decode, class-wise NMS, coordinate
+    un-mapping — runs exactly as in ``make_onnx_detector``; only
+    ``session.run`` is replaced by a dict lookup. This is how the golden-
+    fixture CI test executes the full SD/eval-scripts/nudenet-classes.py
+    decode path in a zero-egress environment (no onnxruntime, no weights).
+    """
+    import os
+
+    import cv2
+
+    recorded = dict(np.load(npz_path))
+
+    def detect(image_path: str):
+        bgr = cv2.imread(image_path)
+        if bgr is None:
+            raise FileNotFoundError(image_path)
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        x, scale, pad = letterbox(rgb, size)
+        assert x.shape == (1, 3, size, size)  # same contract as the session
+        key = os.path.basename(image_path)
+        if key not in recorded:
+            raise KeyError(f"{npz_path} has no recorded output for {key}")
+        raw = recorded[key]
+        return decode_yolo_output(np.asarray(raw), scale, pad, score_thresh)
+
+    return detect
+
+
 def make_onnx_detector(model_path: str, score_thresh: float = 0.2):
     """Local-weights detector: onnxruntime session + this module's pipeline.
 
