@@ -144,8 +144,12 @@ def _lowered_flops(fn, *args):
     separately and recombined by the caller. Tries the free
     Lowered.cost_analysis(); the axon TPU relay returns None there, so the
     fallback compiles the SAME program on the host CPU backend (FLOPs are
-    platform-independent; the compile never touches the TPU). ``args`` may
-    be ShapeDtypeStruct trees."""
+    platform-independent; the compile never touches the TPU). Pallas TPU
+    kernels can't lower for CPU, so traces run inside ops.xla_only() — the
+    plain-XLA attention computes the same math/FLOPs. ``args`` may be
+    ShapeDtypeStruct trees."""
+    from uurg_tpu.ops.flash_attention import xla_only
+
     args = _abstract(args)
 
     def flops_of(ca):
@@ -157,14 +161,16 @@ def _lowered_flops(fn, *args):
         return f if f > 0 else None
 
     try:
-        f = flops_of(jax.jit(fn).lower(*args).cost_analysis())
+        with xla_only():
+            f = flops_of(jax.jit(fn).lower(*args).cost_analysis())
         if f:
             return f
     except Exception:
         pass
     try:
-        return flops_of(
-            jax.jit(fn, backend="cpu").lower(*args).compile().cost_analysis())
+        with xla_only():
+            return flops_of(jax.jit(fn, backend="cpu")
+                            .lower(*args).compile().cost_analysis())
     except Exception as e:
         note(f"cpu-backend cost_analysis unavailable: {e!r}")
         return None
@@ -365,7 +371,13 @@ def bench_classification(batch=256, chunk=50, n_chunks=6):
 def bench_evaluator(batch=256, n_batches=8):
     """Inception feature extraction (pool/spatial/logits — the FID/sFID/IS
     front end, DDPM/evaluator.py read_activations). Random-init weights:
-    throughput only."""
+    throughput only.
+
+    END-TO-END like the FID pipeline: the per-batch feature download to
+    host numpy is INSIDE the timed loop (through this box's TPU tunnel
+    that transfer dominates — device-only compute measures ~5300 imgs/sec
+    vs ~800 end-to-end — so the mfu row reads low; it is the honest number
+    for "how fast does a 50k FID set featurize here")."""
     import numpy as np
 
     from uurg_tpu.eval.inception import init_inception, preprocess
@@ -377,11 +389,16 @@ def bench_evaluator(batch=256, n_batches=8):
     note("evaluator: compiling inception...")
     run_c, flops = _aot(run, imgs)
     _sync(run_c(imgs))
+
+    def extract():  # same host materialization as eval.inception extractors
+        return tuple(np.asarray(o) for o in run_c(imgs))
+
+    extract()
     t0 = time.perf_counter()
     for _ in range(n_batches):
-        out = run_c(imgs)
-    _sync(out)
+        out = extract()
     dt = time.perf_counter() - t0
+    del out
     return _metric("evaluator_inception_features_b256",
                    n_batches * batch / dt, "imgs/sec",
                    flops=flops, calls_per_sec=n_batches / dt)
@@ -483,7 +500,17 @@ def bench_sd(batch=4, n_steps=10):
     fb = (z, ctx_f, ctx_p)
     rb = (z, ctx_p)
     note("sd: compiling two-phase step...")
-    step_c, flops = _aot(step, state, fb, rb, jax.random.key(3))
+    step_c, flops_tpu = _aot(step, state, fb, rb, jax.random.key(3))
+    # TPU cost analysis counts Pallas custom calls as ~0 FLOPs (the flash
+    # attention is ~20% of this step's math): cost the SAME math via the
+    # xla_only CPU lowering instead; keep the TPU figure as fallback. Must
+    # be a FRESH unjitted step — the jitted one has already cached its
+    # traced jaxpr WITH the pallas call from the TPU compile above, and
+    # xla_only can only steer a fresh trace.
+    step_cost = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
+                                wl.shared_step_loss, donate=False, jit=False)
+    flops = _lowered_flops(step_cost, _abstract(state), fb, rb,
+                           jax.random.key(3)) or flops_tpu
     state, _ = step_c(state, fb, rb, jax.random.key(3))
     _sync(state.params)
     t0 = time.perf_counter()

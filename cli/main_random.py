@@ -53,6 +53,12 @@ def parse_args():
                    help="pretrained model checkpoint (orbax dir)")
     p.add_argument("--retrain_checkpoint", type=str, default="",
                    help="retrained reference for JS/KL divergence")
+    p.add_argument("--synthetic_affinity", type=float, default=0.0,
+                   help="stand-in data only: blend each synthetic class "
+                        "mean toward its ring-successor so a forgotten "
+                        "class has a well-defined nearest retained class "
+                        "(CIFAR-like confusability; makes JS-vs-Retrain "
+                        "attainable — see data.synthetic_dataset)")
     p.add_argument("--batch_size", "-b", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str, default="results/classification")
@@ -93,9 +99,11 @@ def main():
         # held-out split measures generalization (different seed alone would
         # generate a disjoint class distribution: test accuracy at chance)
         train_ds = synthetic_dataset(2048, 32, 3, args.num_classes, args.seed,
-                                     base_seed=args.seed)
+                                     base_seed=args.seed,
+                                     class_affinity=args.synthetic_affinity)
         test_ds = synthetic_dataset(512, 32, 3, args.num_classes,
-                                    args.seed + 1, base_seed=args.seed)
+                                    args.seed + 1, base_seed=args.seed,
+                                    class_affinity=args.synthetic_affinity)
 
     if args.forget_mode == "class":
         from uurg_tpu.data import class_forget_split

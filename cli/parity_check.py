@@ -126,8 +126,11 @@ def main():
         config.model.attn_resolutions = []
         config.training.n_iters = 10
         config.training.snapshot_freq = 10
-        args.n_samples = 180
-        args.n_probe = 64
+        config.training.batch_size = 32   # 4x less work per sfron step
+        config.sampling.batch_size = 64
+        config.data.synthetic_n = 512  # fisher/eval stand-in size
+        args.n_samples = 90
+        args.n_probe = 32
         args.sample_steps = 10
 
     run_args = types.SimpleNamespace(
@@ -195,7 +198,10 @@ def main():
     else:
         _, variables = init_inception(jax.random.key(0))
     extractor = make_extractor(variables)
-    metrics = evaluate_all(extractor, remain_ds.images, samples)
+    # quick mode: cap the reference pool (the 299px InceptionV3 pass is the
+    # CPU bottleneck; 192 refs keep the FID/P/R estimators well-posed)
+    ref_images = remain_ds.images[:96] if args.quick else remain_ds.images
+    metrics = evaluate_all(extractor, ref_images, samples)
     log.info("generative metrics: %s", metrics)
 
     # 5) UA probe on forgotten-class samples

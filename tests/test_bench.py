@@ -7,6 +7,7 @@ flushed to stdout the moment it exists, the --budget guard skips (never
 kills) later benches, every metric can carry flops/mfu, and the partial
 record mirrors to disk after every bench.
 """
+import pytest
 import json
 
 import jax
@@ -79,6 +80,7 @@ def test_main_records_failures_and_still_prints(monkeypatch, capsys,
     assert out["all"][0]["error"].startswith("RuntimeError")
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_render_bench_table(tmp_path):
     """scripts/render_bench_table.py rewrites the README marker block from
     a bench record (generated perf table — no hand-typed numbers)."""

@@ -11,14 +11,23 @@ from uurg_tpu.train import make_optimizer
 from uurg_tpu.workloads.classification import Classifier, accuracy, cross_entropy
 
 
-@pytest.fixture()
-def setup():
-    # function-scoped: train steps DONATE their carry, which would delete a
-    # module-scoped fixture's buffers for later tests
+@pytest.fixture(scope="module")
+def _base():
+    # init once per module (the jitted init costs ~15s of gate budget on
+    # this box), but keep only HOST copies: train steps DONATE their carry,
+    # which would delete shared device buffers for later tests
     model = ResNet([1, 1], BasicBlock, num_classes=4, width=8)
     cls = Classifier(model)
     params, bs = init_classifier(jax.random.key(0), model, resolution=8)
+    host = jax.tree_util.tree_map(np.asarray, (params, bs))
     ds = synthetic_dataset(64, 8, 3, 4, seed=0)
+    return cls, host, ds
+
+
+@pytest.fixture()
+def setup(_base):
+    cls, (hp, hb), ds = _base
+    params, bs = jax.tree_util.tree_map(jnp.asarray, (hp, hb))
     return cls, params, bs, ds
 
 

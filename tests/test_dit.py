@@ -46,6 +46,7 @@ def test_zero_init_blocks_identity_at_init(tiny_dit):
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_label_null_embedding(tiny_dit):
     model, params = tiny_dit
     # perturb final layer so outputs are non-trivial
@@ -92,6 +93,7 @@ def test_sincos_pos_embed_range():
     assert np.all(np.abs(emb) <= 1.0)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_remat_policy_grad_parity(tiny_dit):
     """remat_policy options (None / dots / attn) change only what the
     backward saves, never the gradients."""

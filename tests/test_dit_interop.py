@@ -67,6 +67,7 @@ def test_converted_tree_matches_init_structure(scan):
         assert pa[1] == pb[1], f"shape mismatch at {pa[0]}: {pa[1]} vs {pb[1]}"
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_converted_params_run_forward():
     cfg = dataclasses.replace(TINY, scan_blocks=True)
     model, _ = init_dit(jax.random.key(0), cfg)

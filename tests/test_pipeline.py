@@ -25,7 +25,10 @@ def dit_setup():
     return model, params, x, t, y
 
 
-@pytest.mark.parametrize("stages,microbatches", [(8, 4), (4, 2), (2, 8)])
+@pytest.mark.parametrize("stages,microbatches", [
+    pytest.param(8, 4, marks=pytest.mark.slow),  # fast-gate budget (r3
+    # audit): one mid-size (4,2) + one edge (2,8) case stay in the gate
+    (4, 2), (2, 8)])
 def test_pipelined_forward_matches_plain(dit_setup, stages, microbatches):
     model, params, x, t, y = dit_setup
     ref = model.apply({"params": params}, x, t, y)
@@ -38,6 +41,7 @@ def test_pipelined_forward_matches_plain(dit_setup, stages, microbatches):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_pipelined_forward_with_cond_dropout(dit_setup):
     model, params, x, t, y = dit_setup
     keep = jnp.asarray([True, False] * 4)
@@ -49,6 +53,7 @@ def test_pipelined_forward_with_cond_dropout(dit_setup):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_pipelined_grads_match_plain(dit_setup):
     """Training through the pipeline: grads wrt EVERY param leaf equal the
     plain path's (the eps-MSE loss the DiT workload trains with)."""
@@ -97,6 +102,7 @@ def test_pipeline_rejects_bad_shapes(dit_setup):
                             n_microbatches=4)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dp_pp_composition_matches_plain(dit_setup):
     """dp x pp on a (data=2, stage=4) mesh: each data slice runs its own
     pipeline; forward and grads match the plain path."""

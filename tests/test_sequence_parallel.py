@@ -70,6 +70,7 @@ def test_ring_attention_rejects_indivisible_tokens():
         ring_attention(q, k, v, mesh=mesh)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_sequence_parallel_context_routes_model_attention():
     """The sequence_parallel context reroutes the shared attention
     dispatcher (so DiT/SD forwards become token-sharded with no model

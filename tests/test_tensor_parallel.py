@@ -43,6 +43,7 @@ def _tiny_dit(depth=2, hidden=None):
     return model, cfg, params
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_tp_spec_assignment():
     _, _, params = _tiny_dit()
     mesh = make_mesh({"data": 2, "model": 4})
@@ -78,6 +79,7 @@ def test_tp_fsdp_fallback_for_unmatched():
     assert specs["patch_embed"]["kernel"] == P("model", None)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_dit_tp_forward_matches_single_device():
     model, _, params = _tiny_dit()
     x = jax.random.normal(jax.random.key(1), (8, 8, 8, 4))

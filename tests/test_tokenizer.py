@@ -86,6 +86,7 @@ def test_tokenize_deterministic_across_processes():
     assert "[" in outs[0]
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_active_tokenizer_reports_tier():
     assert active_tokenizer().split(":")[0] in (
         "clip-bpe", "hf-clip", "crc32-fallback")

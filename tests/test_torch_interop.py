@@ -38,6 +38,7 @@ def test_roundtrip_flax_torch_flax(tiny_params):
                                    err_msg=str(path))
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_torch_key_names_match_reference_schema(tiny_params):
     sd = flax_unet_params_to_torch(tiny_params)
     keys = set(sd)
@@ -61,6 +62,7 @@ def test_torch_key_names_match_reference_schema(tiny_params):
     assert t0.shape == (TINY.ch * 4, TINY.ch)  # (out, in)
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_module_prefix_stripped(tiny_params):
     sd = flax_unet_params_to_torch(tiny_params)
     prefixed = {f"module.{k}": v for k, v in sd.items()}

@@ -33,9 +33,13 @@ ALL_MODES = ("full", "xattn", "selfattn", "noxattn", "notime", "xlayer",
 
 @pytest.fixture(scope="module")
 def sd_shaped_params():
-    _, params = init_sd_unet(jax.random.key(0), SDV1_SHAPED, latent_size=16,
-                             context_len=8)
-    return params
+    # every test here selects by PYTREE PATH only, so abstract leaves
+    # suffice: eval_shape traces the init without compiling or allocating
+    # (the compiled init was 72s of the fast gate's budget on this box)
+    return jax.eval_shape(
+        lambda k: init_sd_unet(k, SDV1_SHAPED, latent_size=16,
+                               context_len=8)[1],
+        jax.random.key(0))
 
 
 def selected_paths(params, method):
@@ -107,6 +111,7 @@ def test_selflayer_is_attn1_in_input_blocks_4_and_7(sd_shaped_params):
     assert sel == expect and sel
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_gradient_mask_agrees_with_leaf_mask(sd_shaped_params):
     for mode in ALL_MODES:
         grad_mask = train_method_mask(sd_shaped_params, mode)

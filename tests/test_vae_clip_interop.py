@@ -132,6 +132,7 @@ def fake_hf_clip(cfg: CLIPTextConfig, seed=0):
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_clip_converter_matches_init_and_runs():
     sd = fake_hf_clip(TINY_TEXT)
     conv = hf_clip_text_to_flax(sd, TINY_TEXT)

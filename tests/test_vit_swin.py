@@ -8,6 +8,7 @@ from uurg_tpu.models.swin import Swin, SwinConfig
 from uurg_tpu.models.vit import ViT, ViTConfig
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_vit_tiny_forward():
     cfg = ViTConfig(image_size=16, patch_size=4, hidden_size=32, depth=2,
                     num_heads=2, num_classes=5)
@@ -19,6 +20,7 @@ def test_vit_tiny_forward():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_swin_tiny_forward():
     cfg = SwinConfig(patch_size=2, embed_dim=16, depths=(1, 1),
                      num_heads=(2, 2), window=4, num_classes=5)

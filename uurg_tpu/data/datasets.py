@@ -24,7 +24,8 @@ dataset_registry = Registry("dataset")
 
 def synthetic_dataset(n: int = 512, resolution: int = 32, channels: int = 3,
                       n_classes: int = 10, seed: int = 0,
-                      base_seed: int | None = None) -> ArrayDataset:
+                      base_seed: int | None = None,
+                      class_affinity: float = 0.0) -> ArrayDataset:
     """Class-structured fake images: each class has a distinct mean pattern
     so unlearning/eval logic is actually exercised.
 
@@ -34,12 +35,25 @@ def synthetic_dataset(n: int = 512, resolution: int = 32, channels: int = 3,
     class distribution, so generalization is measurable. With
     ``base_seed=None`` the patterns come from the label-advanced ``seed``
     stream (legacy behavior, kept bit-stable) — two splits that differ in
-    ``seed`` are then mutually unlearnable."""
+    ``seed`` are then mutually unlearnable.
+
+    ``class_affinity`` blends each class's mean toward its ring-successor:
+    ``mean[c] = (1-a)*u[c] + a*u[(c+1) % n_classes]``. With a ~ 0.4 a
+    forgotten class has a WELL-DEFINED nearest retained class (its
+    successor), the way CIFAR's semantically-close classes do — without it
+    the classes are mutually equidistant and a retrained model's
+    predictions on forget samples are per-sample noise, making the
+    JS-vs-Retrain comparison (Classification/evaluation/js_div.py:17-29)
+    unattainable for ANY unlearning method. Default 0.0 = bit-stable
+    legacy patterns."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, n).astype(np.int64)
     base_rng = rng if base_seed is None else np.random.default_rng(base_seed)
     base = base_rng.random(
         (n_classes, resolution, resolution, channels)).astype(np.float32)
+    if class_affinity > 0.0:
+        a = float(class_affinity)
+        base = (1.0 - a) * base + a * np.roll(base, -1, axis=0)
     noise = rng.normal(0, 0.1, (n, resolution, resolution, channels))
     images = np.clip(base[labels] + noise.astype(np.float32), 0, 1)
     return ArrayDataset(images, labels)

@@ -18,12 +18,32 @@ plain-XLA recompute VJP.
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# process-wide escape hatch: inside xla_only() the dispatcher never emits a
+# Pallas call. Needed when a TPU-shaped program is lowered for a DIFFERENT
+# backend (e.g. bench.py costs FLOPs by compiling the same math on the host
+# CPU backend — Pallas TPU kernels cannot compile there, and the process
+# default_backend() check below cannot see the jit's target backend).
+_XLA_ONLY = False
+
+
+@contextlib.contextmanager
+def xla_only():
+    """Force the plain-XLA attention path for traces inside this context."""
+    global _XLA_ONLY
+    prev = _XLA_ONLY
+    _XLA_ONLY = True
+    try:
+        yield
+    finally:
+        _XLA_ONLY = prev
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
@@ -216,7 +236,10 @@ def attention(q, k, v, *, use_pallas: bool | None = None,
             return ring_attention(q, k, v, mesh=mesh, axis=axis,
                                   batch_axis=batch_axis)
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu" and T % 128 == 0
+        use_pallas = (not _XLA_ONLY and jax.default_backend() == "tpu"
+                      and T % 128 == 0)
+    if _XLA_ONLY:
+        use_pallas = False
     if not use_pallas:
         return _reference_attention(q, k, v)
     # keep the bwd kernel's fp32 (block_q, T) temps inside VMEM at long T

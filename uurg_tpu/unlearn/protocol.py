@@ -29,7 +29,7 @@ import numpy as np
 from uurg_tpu.data.arrays import ArrayDataset, epoch_batches, infinite_batches
 from uurg_tpu.data.splits import class_forget_split, random_forget_split
 from uurg_tpu.eval.features import softmax
-from uurg_tpu.eval.mia import membership_attack_prob
+from uurg_tpu.eval.mia import membership_attack_prob, svc_mia
 from uurg_tpu.models.resnet import init_classifier
 from uurg_tpu.train import make_optimizer
 from uurg_tpu.unlearn.methods.classification import (UnlearnContext,
@@ -72,9 +72,18 @@ def evaluate(cls: Classifier, params, batch_stats, retain: ArrayDataset,
              forget: ArrayDataset, test_ds: ArrayDataset,
              *, batch_size: int = 256,
              label_to_forget: int | None = None,
-             return_forget_probs: bool = False):
-    """One comparison-table row: accuracies + the logistic MIA probe
-    (Classification/main_random.py:113-148).
+             return_forget_probs: bool = False,
+             svc_mia_cap: int = 4000, seed: int = 0):
+    """One comparison-table row: accuracies + the logistic MIA probe +
+    the SVC-MIA forget-efficacy probe (Classification/main_random.py:113-148,
+    evaluation/svc_mia.py:44-143).
+
+    SVC-MIA protocol (the reference's ``svc_mia_forget_efficacy``): the
+    shadow attacker trains on a retain subset sized like the test set
+    (member) vs the test set (non-member); the target is the forget set as
+    ``target_test`` — so the reported number is the fraction of forget
+    samples the attacker classifies as NON-members (1.0 = perfect
+    forgetting, Retrain's level). ``svc_mia_cap`` bounds the O(n^2) SVC fit.
 
     With ``return_forget_probs`` returns ``(row, forget_softmax)`` so the
     caller's JS-divergence probe reuses the forget-set inference pass the
@@ -96,9 +105,24 @@ def evaluate(cls: Classifier, params, batch_stats, retain: ArrayDataset,
     rp, rl = cls.collect_logits(params, batch_stats, batches(retain))
     fp, fl = cls.collect_logits(params, batch_stats, batches(forget))
     tp, tl = cls.collect_logits(params, batch_stats, batches(test_ds))
-    f_soft = softmax(fp)
-    row["mia"] = membership_attack_prob(
-        softmax(rp), rl, f_soft, fl, softmax(tp), tl)
+    r_soft, f_soft, t_soft = softmax(rp), softmax(fp), softmax(tp)
+    row["mia"] = membership_attack_prob(r_soft, rl, f_soft, fl, t_soft, tl)
+
+    # SVC-MIA forget efficacy: shadow_train = retain subset sized like the
+    # test set (reference: random.sample(range(retain_len), test_len)),
+    # shadow_test = test, target_test = forget, target_train = empty
+    n_shadow = min(len(rl), len(tl), svc_mia_cap)
+    rng = np.random.default_rng(seed)
+    r_idx = rng.choice(len(rl), n_shadow, replace=False)
+    t_idx = (rng.choice(len(tl), n_shadow, replace=False)
+             if len(tl) > n_shadow else np.arange(len(tl)))
+    f_idx = (rng.choice(len(fl), svc_mia_cap, replace=False)
+             if len(fl) > svc_mia_cap else np.arange(len(fl)))
+    empty = (np.zeros((0,) + f_soft.shape[1:]), np.zeros((0,), fl.dtype))
+    sv = svc_mia((r_soft[r_idx], rl[r_idx]), (t_soft[t_idx], tl[t_idx]),
+                 empty, (f_soft[f_idx], fl[f_idx]))
+    for metr, v in sv.items():  # reference column spelling: svc_mia_<metr>
+        row[f"svc_mia_{metr}"] = v
     if return_forget_probs:
         return row, f_soft
     return row
@@ -224,7 +248,8 @@ def _append_rows_csv(csv_path: str, rows: list[dict]) -> None:
 
 def assert_efficacy(rows: list[dict], *, forget_floor: float = 85.0,
                     collapse_ceiling: float = 25.0,
-                    retain_slack: float = 8.0) -> None:
+                    retain_slack: float = 8.0,
+                    js_margin: float = 0.0) -> None:
     """Directionality gate over a Baseline/Retrain/<methods> comparison.
 
     Accuracies are PERCENT (0-100, the reference's convention —
@@ -233,7 +258,11 @@ def assert_efficacy(rows: list[dict], *, forget_floor: float = 85.0,
     split (acc >= forget_floor); every other method collapses forget accuracy
     toward Retrain's (<= collapse_ceiling) while holding retain accuracy
     within ``retain_slack`` percentage points of Baseline; MIA does not
-    exceed Baseline's. Raises AssertionError with the offending numbers."""
+    exceed Baseline's; SVC-MIA forget efficacy (fraction of forget samples
+    read as non-members) does not fall below Baseline's. ``js_margin`` makes
+    the JS check a MARGIN, not just direction: each method's JS-vs-Retrain
+    must be <= Baseline's * (1 - js_margin) (round-3 verdict: a 9% gap was
+    too thin to call efficacy). Raises AssertionError with the numbers."""
     by = {r["method"]: r for r in rows}
     base = by.pop("Baseline")
     assert base["forget_acc"] >= forget_floor, \
@@ -254,9 +283,18 @@ def assert_efficacy(rows: list[dict], *, forget_floor: float = 85.0,
                  f"{r['test_retain_acc']:.3f} vs {base['test_retain_acc']:.3f}")
         assert r["mia"] <= base["mia"] + 0.05, \
             (f"{name} MIA {r['mia']:.3f} above Baseline {base['mia']:.3f}")
+        if "svc_mia_confidence" in r and "svc_mia_confidence" in base:
+            # forget efficacy: the SVC attacker should read forget samples
+            # as non-members at least as often as before unlearning
+            assert r["svc_mia_confidence"] >= \
+                base["svc_mia_confidence"] - 0.05, \
+                (f"{name} svc_mia_confidence {r['svc_mia_confidence']:.3f} "
+                 f"below Baseline {base['svc_mia_confidence']:.3f}")
         if "js_div" in r and "js_div" in base and name != "Retrain":
             # unlearned output distribution on the forget set should sit
-            # closer to Retrain's than Baseline's does
-            assert r["js_div"] <= base["js_div"] + 1e-6, \
-                (f"{name} js_div {r['js_div']:.4f} above Baseline "
-                 f"{base['js_div']:.4f}")
+            # closer to Retrain's than Baseline's does — by a real margin
+            bound = base["js_div"] * (1.0 - js_margin) + 1e-6
+            assert r["js_div"] <= bound, \
+                (f"{name} js_div {r['js_div']:.4f} above "
+                 f"{bound:.4f} (Baseline {base['js_div']:.4f}, "
+                 f"margin {js_margin:.0%})")

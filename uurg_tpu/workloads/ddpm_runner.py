@@ -57,7 +57,10 @@ def _load_train_dataset(args, config) -> ArrayDataset:
     # classifier, base-dataset export) must share ONE class-pattern set —
     # with base_seed=None the patterns depend on n, so differently-sized
     # fallbacks silently diverge and cross-model probes read noise
-    return synthetic_dataset(2048, config.data.image_size,
+    # synthetic_n: stand-in size knob (parity kit --quick shrinks it so the
+    # full pipeline stays CI-runnable on one CPU core)
+    return synthetic_dataset(config.data.get("synthetic_n", 2048),
+                             config.data.image_size,
                              config.data.channels, config.data.n_classes,
                              base_seed=0)
 
