@@ -368,35 +368,41 @@ def bench_classification(batch=256, chunk=50, n_chunks=6):
                    "it/sec", flops=flops_it)
 
 
-def bench_evaluator(batch=256, n_batches=8):
+def bench_evaluator(batch=256, n_batches=20):
+    # n_batches=20 (~10s timed): the tunnel's transfer throughput is noisy
+    # (paired A/B runs spread ~20%, scripts/exp_featurize_ab.py), so a
+    # longer window tightens the estimate.
     """Inception feature extraction (pool/spatial/logits — the FID/sFID/IS
     front end, DDPM/evaluator.py read_activations). Random-init weights:
     throughput only.
 
     END-TO-END like the FID pipeline: the per-batch feature download to
-    host numpy is INSIDE the timed loop (through this box's TPU tunnel
-    that transfer dominates — device-only compute measures ~5300 imgs/sec
-    vs ~800 end-to-end — so the mfu row reads low; it is the honest number
-    for "how fast does a 50k FID set featurize here")."""
+    host numpy is INSIDE the timed loop, measured through the REAL
+    ``eval.generative.featurize`` path (the one evaluate_all uses), which
+    since round 4 overlaps batch i's download with batch i+1's compute
+    (make_extractor(materialize=False)). Through this box's TPU tunnel the
+    download is the long pole — device-only compute measures ~5300
+    imgs/sec — so the mfu row still reads low; this is the honest number
+    for "how fast does a 50k FID set featurize here"."""
     import numpy as np
 
-    from uurg_tpu.eval.inception import init_inception, preprocess
+    from uurg_tpu.eval.generative import featurize
+    from uurg_tpu.eval.inception import (init_inception, make_extractor,
+                                         preprocess)
 
     model, variables = init_inception(jax.random.key(0))
     run = jax.jit(lambda imgs: model.apply(variables, preprocess(imgs)))
-    imgs = jnp.asarray(np.random.default_rng(0).integers(
+    imgs_dev = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (batch, 32, 32, 3), np.uint8))
     note("evaluator: compiling inception...")
-    run_c, flops = _aot(run, imgs)
-    _sync(run_c(imgs))
-
-    def extract():  # same host materialization as eval.inception extractors
-        return tuple(np.asarray(o) for o in run_c(imgs))
-
-    extract()
+    _, flops = _aot(run, imgs_dev)  # cost of the per-batch program
+    extractor = make_extractor(variables, materialize=False)
+    images = np.asarray(imgs_dev)
+    all_images = np.broadcast_to(
+        images, (n_batches,) + images.shape).reshape(-1, *images.shape[1:])
+    out = featurize(extractor, all_images, batch_size=batch)  # warm compile
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = extract()
+    out = featurize(extractor, all_images, batch_size=batch)
     dt = time.perf_counter() - t0
     del out
     return _metric("evaluator_inception_features_b256",

@@ -56,7 +56,7 @@ def main():
                         "randomly-initialized InceptionV3 (NOT comparable "
                         "to published FID numbers)")
         _, variables = init_inception(jax.random.key(0))
-    extractor = make_extractor(variables)
+    extractor = make_extractor(variables, materialize=False)
 
     ref = load_images(args.ref_batch)
     sample = load_images(args.sample_batch)

@@ -197,7 +197,7 @@ def main():
         variables = unflatten_variables(convert_inception_state_dict(sd))
     else:
         _, variables = init_inception(jax.random.key(0))
-    extractor = make_extractor(variables)
+    extractor = make_extractor(variables, materialize=False)
     # quick mode: cap the reference pool (the 299px InceptionV3 pass is the
     # CPU bottleneck; 192 refs keep the FID/P/R estimators well-posed)
     ref_images = remain_ds.images[:96] if args.quick else remain_ds.images

@@ -6,6 +6,7 @@ from uurg_tpu.eval.generative import (
     FIDStatistics,
     compute_fid,
     evaluate_all,
+    featurize,
     inception_score,
     precision_recall,
 )
@@ -130,6 +131,41 @@ def test_evaluate_all_with_stub_extractor():
                        "recall"}
     assert out["fid"] == pytest.approx(0.0, abs=1e-4)
     assert out["precision"] > 0.9
+
+
+def test_featurize_pipelined_matches_serial_loop():
+    """featurize (download of batch i overlapped with batch i+1's dispatch)
+    must produce byte-identical features to the naive serial loop, for both
+    numpy-returning and device-array-returning extractors, including a
+    ragged final batch."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    images = rng.integers(0, 255, (150, 4, 4, 3), np.uint8)
+
+    def np_extractor(batch):
+        flat = batch.reshape(len(batch), -1).astype(np.float32)
+        return flat[:, :8], flat[:, 8:20], flat[:, :5]
+
+    def dev_extractor(batch):
+        return tuple(jnp.asarray(o) for o in np_extractor(batch))
+
+    serial = [[], [], []]
+    for i in range(0, len(images), 64):
+        for col, o in zip(serial, np_extractor(images[i:i + 64])):
+            col.append(o)
+    expect = tuple(np.concatenate(c) for c in serial)
+
+    for extractor in (np_extractor, dev_extractor):
+        got = featurize(extractor, images, batch_size=64)
+        for g, e in zip(got, expect):
+            np.testing.assert_array_equal(np.asarray(g), e)
+
+    pool, spatial, logits = featurize(dev_extractor, images, batch_size=64,
+                                      columns=(0, 1))
+    np.testing.assert_array_equal(pool, expect[0])
+    np.testing.assert_array_equal(spatial, expect[1])
+    assert logits is None
 
 
 @pytest.mark.slow

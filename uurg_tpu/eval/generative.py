@@ -139,6 +139,43 @@ def precision_recall(feats_ref: np.ndarray, feats_sample: np.ndarray,
     return float(in_ref.mean()), float(in_sam.mean())
 
 
+def featurize(extractor, images: np.ndarray, batch_size: int = 256,
+              columns: tuple | None = None):
+    """Run ``extractor`` over ``images`` in batches -> concatenated
+    (pool, spatial, logits) numpy arrays.
+
+    The device->host feature download of batch i happens AFTER batch i+1
+    has been dispatched: with an extractor that returns device arrays
+    (``make_extractor(..., materialize=False)``), the TPU computes the
+    next batch while the previous one streams to host. Through this box's
+    TPU tunnel the download is the long pole (DDPM/evaluator.py's TF
+    read_activations has the same serial shape), so the overlap is most
+    of the end-to-end win. Extractors that already return numpy degrade
+    gracefully to the serial behavior (np.asarray is then a no-op).
+
+    ``columns`` selects which extractor outputs to download (e.g. ``(0, 1)``
+    = pool + spatial only); skipped columns never cross the wire and come
+    back as None — the reference pass of an FID run has no use for logits."""
+    outs = []
+    pending = None
+
+    def materialize(batch_out):
+        return tuple(
+            np.asarray(o) if columns is None or j in columns else None
+            for j, o in enumerate(batch_out))
+
+    for i in range(0, len(images), batch_size):
+        cur = extractor(images[i : i + batch_size])
+        if pending is not None:
+            outs.append(materialize(pending))
+        pending = cur
+    if pending is not None:
+        outs.append(materialize(pending))
+    return tuple(
+        np.concatenate(col) if col[0] is not None else None
+        for col in zip(*outs))
+
+
 def evaluate_all(
     extractor,
     ref_images: np.ndarray,
@@ -146,18 +183,10 @@ def evaluate_all(
     batch_size: int = 256,
 ) -> dict:
     """Full ADM metric sweep (DDPM/evaluator.py:60-76 printout parity)."""
-    def run(images):
-        pools, spatials, logits = [], [], []
-        for i in range(0, len(images), batch_size):
-            p, s, l = extractor(images[i : i + batch_size])
-            pools.append(np.asarray(p))
-            spatials.append(np.asarray(s))
-            logits.append(np.asarray(l))
-        return (np.concatenate(pools), np.concatenate(spatials),
-                np.concatenate(logits))
-
-    ref_pool, ref_sp, _ = run(ref_images)
-    sam_pool, sam_sp, sam_logits = run(sample_images)
+    ref_pool, ref_sp, _ = featurize(extractor, ref_images, batch_size,
+                                    columns=(0, 1))
+    sam_pool, sam_sp, sam_logits = featurize(extractor, sample_images,
+                                             batch_size)
     prec, rec = precision_recall(ref_pool, sam_pool)
     return {
         "inception_score": inception_score(sam_logits),

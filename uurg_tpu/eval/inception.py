@@ -195,8 +195,12 @@ def preprocess(images_uint8: jnp.ndarray, size: int = 299) -> jnp.ndarray:
     return x / 127.5 - 1.0
 
 
-def make_extractor(variables, batch_dtype=jnp.float32):
-    """Jitted callable: uint8 images -> (pool, spatial, logits) numpy."""
+def make_extractor(variables, batch_dtype=jnp.float32, materialize=True):
+    """Jitted callable: uint8 images -> (pool, spatial, logits).
+
+    ``materialize=True`` returns numpy (blocking). ``materialize=False``
+    returns device arrays, letting ``uurg_tpu.eval.generative.featurize``
+    overlap the host download with the next batch's compute."""
     model = InceptionV3(dtype=batch_dtype)
 
     @jax.jit
@@ -205,6 +209,8 @@ def make_extractor(variables, batch_dtype=jnp.float32):
 
     def extract(images_uint8: np.ndarray):
         pool, spatial, logits = run(jnp.asarray(images_uint8))
+        if not materialize:
+            return pool, spatial, logits
         return (np.asarray(pool), np.asarray(spatial), np.asarray(logits))
 
     return extract
