@@ -53,6 +53,16 @@ def main():
 
     df = pd.read_csv(args.prompts_path)
     os.makedirs(args.save_path, exist_ok=True)
+
+    def flush(pending):
+        case, dev = pending
+        imgs = np.clip((np.asarray(dev) + 1) / 2, 0, 1)
+        for i in range(args.num_samples):
+            Image.fromarray((imgs[i] * 255).astype(np.uint8)).save(
+                os.path.join(args.save_path, f"{case}_{i}.png"))
+        logging.info("case %d done", case)
+
+    pending = None  # download+PNG-encode case i while the device samples i+1
     for _, row in df.iterrows():
         case = int(row.case_number)
         if case < args.from_case:
@@ -62,12 +72,12 @@ def main():
             np.asarray(wl.get_learned_conditioning([str(row.prompt)])),
             args.num_samples, 0))
         z = sampler(unet_params, ctx, jax.random.key(seed))
-        imgs = np.asarray(decode(z))
-        imgs = np.clip((imgs + 1) / 2, 0, 1)
-        for i in range(args.num_samples):
-            Image.fromarray((imgs[i] * 255).astype(np.uint8)).save(
-                os.path.join(args.save_path, f"{case}_{i}.png"))
-        logging.info("case %d done", case)
+        dev = decode(z)
+        if pending is not None:
+            flush(pending)
+        pending = (case, dev)
+    if pending is not None:
+        flush(pending)
 
 
 if __name__ == "__main__":

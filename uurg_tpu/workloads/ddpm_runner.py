@@ -438,6 +438,7 @@ def sample_images(args, config, params, labels: np.ndarray,
         bs = max(bs, jax.device_count()) // jax.device_count() * jax.device_count()
     out = []
     key = jax.random.key(seed)
+    pending = None  # download batch i while the device samples batch i+1
     for start in range(0, len(labels), bs):
         chunk = labels[start : start + bs]
         pad = bs - len(chunk)
@@ -446,7 +447,11 @@ def sample_images(args, config, params, labels: np.ndarray,
         if sharding is not None:
             lab = jax.device_put(lab, sharding)
         x = sampler(params, lab, sub)
-        x = inverse_data_transform(config, x)
-        out.append(np.asarray(x[: len(chunk)]))
+        x = inverse_data_transform(config, x)[: len(chunk)]
+        if pending is not None:
+            out.append(np.asarray(pending))
+        pending = x
+    if pending is not None:
+        out.append(np.asarray(pending))
     imgs = np.concatenate(out)
     return (imgs * 255.0).round().astype(np.uint8)

@@ -307,6 +307,14 @@ def dit_sample_fid(
         sh = batch_sharding(make_mesh({"data": len(local)}, devices=local))
     outs = []
     key = jax.random.key(seed + pid)
+    pending = None  # download batch i while the device samples batch i+1
+
+    def materialize(dev):
+        if decode_fn is not None:
+            img = np.clip((np.asarray(dev) + 1) / 2, 0, 1)
+            return (img * 255).astype(np.uint8)
+        return np.asarray(dev)
+
     for i in range(0, len(labels), batch_size):
         chunk = labels[i : i + batch_size]
         pad = batch_size - len(chunk)
@@ -314,12 +322,11 @@ def dit_sample_fid(
         lab = jnp.asarray(np.pad(chunk, (0, pad)))
         if sh is not None:
             lab = jax.device_put(lab, sh)
-        lat = sampler(params, lab, sub)
-        lat = lat[: len(chunk)]
-        if decode_fn is not None:
-            img = decode_fn(lat)
-            img = np.clip((np.asarray(img) + 1) / 2, 0, 1)
-            outs.append((img * 255).astype(np.uint8))
-        else:
-            outs.append(np.asarray(lat))
+        lat = sampler(params, lab, sub)[: len(chunk)]
+        dev = decode_fn(lat) if decode_fn is not None else lat
+        if pending is not None:
+            outs.append(materialize(pending))
+        pending = dev
+    if pending is not None:
+        outs.append(materialize(pending))
     return np.concatenate(outs)
