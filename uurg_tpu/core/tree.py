@@ -7,6 +7,8 @@ DiT/forget.py:289-292, SD/train-scripts/nsfw_removal.py:157-160) with single
 """
 from __future__ import annotations
 
+import dataclasses
+import math
 from typing import Any
 
 import jax
@@ -15,9 +17,48 @@ import jax.numpy as jnp
 PyTree = Any
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PackedMask:
+    """A boolean mask leaf bit-packed 8x (uint8, 1 bit/element).
+
+    A bool saliency mask for DiT-XL/2 is 675MB of HBM; packed it is 84MB —
+    headroom that buys a faster remat policy on a 16GB chip. ``tree_mul``
+    unpacks at the multiply site (XLA fuses the unpack into the elementwise
+    product; the uint8 intermediate never hits HBM at full size)."""
+
+    bits: jnp.ndarray                                     # uint8, 1-D
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def unpack(self, dtype=jnp.float32) -> jnp.ndarray:
+        n = math.prod(self.shape) if self.shape else 1
+        return (jnp.unpackbits(self.bits, count=n)
+                .reshape(self.shape).astype(dtype))
+
+
+def pack_mask(mask: PyTree) -> PyTree:
+    """Bit-pack every leaf of a 0/1 (or bool) mask pytree."""
+
+    @jax.jit
+    def _pack(m):
+        return jax.tree_util.tree_map(
+            lambda l: PackedMask(jnp.packbits(jnp.ravel(l) != 0),
+                                 tuple(l.shape)), m)
+
+    return _pack(mask)
+
+
 def tree_mul(a: PyTree, b: PyTree) -> PyTree:
-    """Elementwise product of two matching pytrees (e.g. grads * mask)."""
-    return jax.tree_util.tree_map(lambda x, y: x * y.astype(x.dtype), a, b)
+    """Elementwise product of two matching pytrees (e.g. grads * mask).
+
+    ``b`` leaves may be PackedMask nodes (bit-packed saliency masks)."""
+    def mul(x, y):
+        if isinstance(y, PackedMask):
+            return x * y.unpack(x.dtype)
+        return x * y.astype(x.dtype)
+
+    return jax.tree_util.tree_map(
+        mul, a, b, is_leaf=lambda n: isinstance(n, PackedMask))
 
 
 def tree_lerp(new: PyTree, old: PyTree, weight_old) -> PyTree:
@@ -50,13 +91,23 @@ def tree_zeros_like(tree: PyTree, dtype=None) -> PyTree:
     )
 
 
+def _mask_leaves(tree: PyTree):
+    return jax.tree_util.tree_leaves(
+        tree, is_leaf=lambda n: isinstance(n, PackedMask))
+
+
 def tree_size(tree: PyTree) -> int:
-    return sum(l.size for l in jax.tree_util.tree_leaves(tree))
+    return sum(math.prod(l.shape) if isinstance(l, PackedMask) else l.size
+               for l in _mask_leaves(tree))
 
 
 def tree_count_nonzero(tree: PyTree) -> jnp.ndarray:
-    leaves = jax.tree_util.tree_leaves(tree)
-    return sum(jnp.count_nonzero(l) for l in leaves)
+    # PackedMask: padding bits are zero, so a popcount over the packed
+    # bytes equals the unpacked nonzero count without materializing it
+    return sum(
+        jnp.sum(jax.lax.population_count(l.bits).astype(jnp.int32))
+        if isinstance(l, PackedMask) else jnp.count_nonzero(l)
+        for l in _mask_leaves(tree))
 
 
 def sparsity(tree: PyTree) -> jnp.ndarray:
