@@ -62,6 +62,21 @@ def parse_args():
                    help="gradient-accumulation microbatches per update "
                         "(effective batch = grad_accum x batch size at the "
                         "activation memory of one batch)")
+    p.add_argument("--remat_policy", type=str, default="full",
+                   choices=["full", "attn", "dots"],
+                   help="backward rematerialization policy: full = "
+                        "recompute every block (min HBM); attn = save "
+                        "attention outputs; dots = save matmul outputs "
+                        "(fastest, needs the bf16-moments + --pack_mask "
+                        "memory headroom at XL scale)")
+    p.add_argument("--mu_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="Adam first-moment storage dtype")
+    p.add_argument("--nu_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="Adam second-moment storage dtype")
+    p.add_argument("--pack_mask", action="store_true",
+                   help="bit-pack the saliency mask (8x less HBM)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the run there "
                         "(TensorBoard/Perfetto); empty = off")
@@ -84,7 +99,10 @@ def main():
     from uurg_tpu.workloads.dit import DiTWorkload
     from uurg_tpu.workloads.dit_runner import dit_forget
 
-    wl = DiTWorkload.build(args.model, args.image_size, args.num_classes)
+    wl = DiTWorkload.build(
+        args.model, args.image_size, args.num_classes,
+        remat_policy=None if args.remat_policy == "full"
+        else args.remat_policy)
     params = wl.init_params(jax.random.key(args.global_seed))
     if args.ckpt:
         if args.ckpt.endswith((".pt", ".pth", ".ckpt")):
@@ -220,6 +238,9 @@ def main():
             parallelism=args.parallelism,
             pp_microbatches=args.pp_microbatches or None,
             grad_accum=args.grad_accum,
+            mu_dtype=jnp.bfloat16 if args.mu_dtype == "bf16" else None,
+            nu_dtype=jnp.bfloat16 if args.nu_dtype == "bf16" else None,
+            pack_mask=args.pack_mask,
         )
     print(f"done: {ckpt_dir}")
 

@@ -47,6 +47,12 @@ def parse_args():
                    help="dp/fsdp/tp: param sharding over the mesh 'model' "
                         "axis; sp: ring-attention sequence parallelism "
                         "over a 'seq' axis (docs/SCALING.md)")
+    p.add_argument("--nu_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="Adam second-moment storage dtype (bf16 frees "
+                        "~1.7GB at train_method=full)")
+    p.add_argument("--pack_mask", action="store_true",
+                   help="bit-pack the saliency mask (8x less HBM)")
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of the run there "
                         "(TensorBoard/Perfetto); empty = off")
@@ -143,7 +149,9 @@ def main():
             seed=args.seed, snapshot_hook=snapshot,
             snapshot_freq=args.snapshot_freq,
             mesh=mesh, parallelism=args.parallelism,
-            grad_accum=args.grad_accum)
+            grad_accum=args.grad_accum,
+            nu_dtype=jnp.bfloat16 if args.nu_dtype == "bf16" else None,
+            pack_mask=args.pack_mask)
     save_checkpoint(os.path.join(args.save_path, "final"), final)
     print(f"done: {args.save_path}")
 

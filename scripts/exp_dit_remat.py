@@ -1,41 +1,68 @@
-"""One-off experiment: DiT-XL/2 two-phase step throughput vs remat policy.
+"""Experiment: DiT-XL/2 two-phase step throughput vs remat/memory policy.
 
-Usage: python scripts/exp_dit_remat.py <policy>   (full | attn | dots | none)
-Prints steps/sec for the policy on the current default device.
+The round-3 measurement (README): full remat 2.96 steps/s (34.5% model-MFU),
+"attn" policy +2%, "dots" OOM by 1.44GB. The bf16-nu optimizer state
+(-1.35GB) and the bit-packed saliency mask (-590MB) buy back 1.94GB, which
+should let "dots" fit — skipping most backward recompute (~25% of step
+FLOPs under full remat).
+
+Run one variant per process (fresh HBM):
+    python scripts/exp_dit_remat.py base|attn|dots16|attn16
 """
-import dataclasses
 import gc
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def main(policy_name: str, batch: int = 16, n_steps: int = 10) -> None:
+VARIANTS = {
+    #          remat_policy  nu_dtype       packed_mask
+    "base":   (None,         None,          False),
+    "attn":   ("attn",       None,          False),
+    "dots16": ("dots",       jnp.bfloat16,  True),
+    "attn16": ("attn",       jnp.bfloat16,  True),
+}
+
+
+def main(variant: str, batch=16, n_steps=10):
+    policy, nu_dtype, packed = VARIANTS[variant]
+
+    from uurg_tpu.core.tree import pack_mask
     from uurg_tpu.train import make_optimizer
     from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
     from uurg_tpu.unlearn.sfron import init_state
     from uurg_tpu.workloads.dit import DiTWorkload
 
-    wl = DiTWorkload.build("DiT-XL/2")
-    if policy_name == "full":
-        pass  # default: remat=True, remat_policy=None
-    elif policy_name == "none":
-        wl = dataclasses.replace(wl, cfg=dataclasses.replace(wl.cfg, remat=False))
-    else:
-        wl = dataclasses.replace(
-            wl, cfg=dataclasses.replace(wl.cfg, remat_policy=policy_name))
-
-    print(f"policy={policy_name} remat={wl.cfg.remat} "
-          f"remat_policy={wl.cfg.remat_policy}", flush=True)
+    wl = DiTWorkload.build("DiT-XL/2", remat_policy=policy)
+    print(f"[{variant}] init params...", file=sys.stderr, flush=True)
     params = wl.init_params(jax.random.key(0))
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
-    mask = jax.tree_util.tree_map(
-        lambda p: (jax.random.uniform(jax.random.key(1), p.shape) > 0.5
-                   ).astype(jnp.bfloat16), params)
+
+    @jax.jit
+    def make(key):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(key, len(leaves))
+        masks = [jax.random.uniform(k, p.shape) > 0.5
+                 for k, p in zip(keys, leaves)]
+        return jax.tree_util.tree_unflatten(treedef, masks)
+
+    mask = make(jax.random.key(1))
+    if packed:
+        mask = pack_mask(mask)
+    jax.block_until_ready(jax.tree_util.tree_leaves(mask)[0])
+
     opt = make_optimizer("adamw", 1e-4, weight_decay=0.0,
-                         mu_dtype=jnp.bfloat16)
+                         mu_dtype=jnp.bfloat16, nu_dtype=nu_dtype)
     cfg = SFRonConfig(n_iters=600, forget_alpha=1e-3, remain_alpha=1.0,
                       alpha_sched="const", forget_clip=1.0, remain_clip=None,
                       ema_mu=0.9999)
@@ -48,23 +75,29 @@ def main(policy_name: str, batch: int = 16, n_steps: int = 10) -> None:
     kd = jax.random.key(2)
     fb = (jax.random.normal(kd, (batch, 32, 32, 4)) * 0.2,
           jnp.zeros((batch,), jnp.int32))
-    rb = (jax.random.normal(jax.random.fold_in(kd, 1),
-                            (batch, 32, 32, 4)) * 0.2,
+    rb = (jax.random.normal(jax.random.fold_in(kd, 1), (batch, 32, 32, 4)) * 0.2,
           jax.random.randint(jax.random.fold_in(kd, 2), (batch,), 1, 1000))
-
+    print(f"[{variant}] compiling...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    stepj = jax.jit(step, donate_argnums=(0,))
-    state, _ = stepj(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
-    print(f"compile+1st step: {time.perf_counter() - t0:.1f}s", flush=True)
+    step_c = step.lower(state, fb, rb, jax.random.key(3)).compile()
+    print(f"[{variant}] compiled in {time.perf_counter()-t0:.0f}s",
+          file=sys.stderr, flush=True)
+    try:
+        mem = step_c.memory_analysis()
+        print(f"[{variant}] temp={mem.temp_size_in_bytes/2**30:.2f}GiB "
+              f"args={mem.argument_size_in_bytes/2**30:.2f}GiB",
+              file=sys.stderr, flush=True)
+    except Exception:
+        pass
+    state, _ = step_c(state, fb, rb, jax.random.key(3))
+    float(jnp.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0])
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        state, _ = stepj(state, fb, rb, jax.random.key(3))
-    jax.block_until_ready(state.params)
+        state, _ = step_c(state, fb, rb, jax.random.key(3))
+    float(jnp.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0])
     dt = time.perf_counter() - t0
-    print(f"RESULT policy={policy_name} {n_steps / dt:.3f} steps/sec "
-          f"({dt / n_steps * 1e3:.1f} ms/step)", flush=True)
+    print(f"RESULT {variant}: {n_steps/dt:.3f} steps/sec")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "full")
+    main(sys.argv[1] if len(sys.argv) > 1 else "base")

@@ -138,3 +138,20 @@ def test_forget_parallelism_choices(monkeypatch):
     a = _parse(m2, ["--mesh", "data=2,seq=4", "--parallelism", "sp"],
                monkeypatch)
     assert a.parallelism == "sp"
+
+
+def test_forget_memory_policy_flags(monkeypatch):
+    """Remat policy + Adam moment dtypes + mask bit-packing are reachable
+    from the shell (the dots-remat memory recipe at DiT-XL scale)."""
+    m = _load("forget")
+    a = _parse(m, ["--remat_policy", "dots", "--mu_dtype", "bf16",
+                   "--nu_dtype", "bf16", "--pack_mask"], monkeypatch)
+    assert a.remat_policy == "dots"
+    assert a.mu_dtype == "bf16" and a.nu_dtype == "bf16"
+    assert a.pack_mask
+    a = _parse(m, [], monkeypatch)
+    assert a.remat_policy == "full" and not a.pack_mask
+
+    m2 = _load("nsfw_removal")
+    a = _parse(m2, ["--nu_dtype", "bf16", "--pack_mask"], monkeypatch)
+    assert a.nu_dtype == "bf16" and a.pack_mask

@@ -265,3 +265,39 @@ def test_dit_forget_sp_requires_seq_axis(wl):
             wl, params, _batches(jax.random.key(1), 0),
             _batches(jax.random.key(2), 3), n_iters=1,
             mesh=make_mesh({"data": 8}), parallelism="sp")
+
+
+@pytest.mark.slow
+def test_dit_forget_memory_policy_knobs(wl):
+    """bf16 Adam moments + bit-packed mask run end-to-end and track the
+    default-policy run closely (the dots-remat memory recipe)."""
+    params = wl.init_params(jax.random.key(0))
+    mask = jax.tree_util.tree_map(
+        lambda p: jax.random.uniform(jax.random.key(p.size % 97),
+                                     p.shape) > 0.3, params)
+    kw = dict(n_iters=3, lr=1e-3, forget_alpha=1e-2, unlearn_loss="ga",
+              label_to_forget=0, log_freq=100)
+    base = dit_runner.dit_forget(
+        wl, params, _batches(jax.random.key(1), 0),
+        _batches(jax.random.key(2), 3), mask=mask, **kw)
+    lomem = dit_runner.dit_forget(
+        wl, params, _batches(jax.random.key(1), 0),
+        _batches(jax.random.key(2), 3), mask=mask,
+        mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16, pack_mask=True, **kw)
+    assert int(lomem.step) == 3
+    from uurg_tpu.core.tree import PackedMask
+
+    packed_leaves = jax.tree_util.tree_leaves(
+        lomem.mask, is_leaf=lambda n: isinstance(n, PackedMask))
+    assert all(isinstance(l, PackedMask) for l in packed_leaves)
+    # bf16 moments round the Adam update direction a little each step;
+    # the runs must stay close relative to how far training moved
+    init = wl.init_params(jax.random.key(0))
+    div = max(float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(jax.tree_util.tree_leaves(base.params),
+                              jax.tree_util.tree_leaves(lomem.params)))
+    moved = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree_util.tree_leaves(base.params),
+                                jax.tree_util.tree_leaves(init)))
+    assert moved > 0
+    assert div < 0.25 * moved, (div, moved)

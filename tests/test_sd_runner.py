@@ -211,3 +211,16 @@ def test_nsfw_removal_loop_under_sp_mesh(wl, unet_params):
                     jax.tree_util.tree_leaves(out)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_nsfw_removal_memory_policy_knobs(wl, unet_params):
+    """bf16 nu + bit-packed saliency mask run through the SD erasure loop."""
+    mask = jax.tree_util.tree_map(
+        lambda p: jnp.ones(p.shape, bool), unet_params)
+    out = sd_runner.nsfw_removal(
+        wl, unet_params,
+        _z_ctx_batches(jax.random.key(0), with_pseudo=True),
+        _z_ctx_batches(jax.random.key(1)),
+        n_iters=2, lr=1e-4, train_method="xattn", saliency_mask=mask,
+        nu_dtype=jnp.bfloat16, pack_mask=True, snapshot_freq=10)
+    assert _finite(out)

@@ -90,7 +90,9 @@ def init_state(params, optimizer: optax.GradientTransformation,
         opt_state=opt_state,
         ema_params=ema_params,
         model_state=copy(model_state) if model_state is not None else None,
-        mask=mask,
+        # the mask rides through donated steps too: without a fresh copy
+        # the FIRST step deletes the caller's mask buffers
+        mask=copy(mask) if mask is not None else None,
     )
 
 

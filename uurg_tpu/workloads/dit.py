@@ -34,9 +34,11 @@ class DiTWorkload:
     @classmethod
     def build(cls, name: str = "DiT-XL/2", image_size: int = 256,
               num_classes: int = 1000, lambd: float = 0.5,
-              dtype=jnp.bfloat16) -> "DiTWorkload":
+              dtype=jnp.bfloat16, **overrides) -> "DiTWorkload":
+        """``overrides`` forwards to DiTConfig (e.g. remat_policy="dots")."""
         model, cfg = build_dit(name, input_size=image_size // 8,
-                               num_classes=num_classes, dtype=dtype)
+                               num_classes=num_classes, dtype=dtype,
+                               **overrides)
         return cls(model=model, cfg=cfg,
                    diffusion=make_diffusion("", 1000, learn_sigma=True),
                    lambd=lambd)

@@ -62,6 +62,12 @@ def dit_forget(
                                # | "sp" (ring attention over 'seq')
     pp_microbatches: int | None = None,  # pp only; default = stage count
     grad_accum: int = 1,       # microbatches per optimizer update
+    mu_dtype=None,             # Adam first-moment storage dtype (bf16
+                               # halves it; DiT-XL: -1.35GB)
+    nu_dtype=None,             # Adam second-moment storage dtype (bf16:
+                               # another -1.35GB, ~0.2% denominator error)
+    pack_mask: bool = False,   # bit-pack the saliency mask 8x (bool
+                               # 675MB -> 84MB at XL scale)
 ):
     """SFR-on for DiT (DiT/forget.py:256-345): masked ascent + remain descent
     + update_ema, one jit. ``ema_decay`` follows DiT's update_ema (shadow =
@@ -71,7 +77,12 @@ def dit_forget(
     (--decay-forget-alpha, default off like the reference).
     ``sample_hook(state, step)`` fires every ``snapshot_freq`` steps
     (forget.py:344-345 sample grids)."""
-    opt = make_optimizer("adamw", lr, weight_decay=0.0)
+    opt = make_optimizer("adamw", lr, weight_decay=0.0,
+                         mu_dtype=mu_dtype, nu_dtype=nu_dtype)
+    if pack_mask and mask is not None:
+        from uurg_tpu.core.tree import pack_mask as _pack
+
+        mask = _pack(mask)
     cfg = SFRonConfig(
         n_iters=n_iters, forget_alpha=forget_alpha,
         remain_alpha=remain_alpha,
@@ -124,11 +135,17 @@ def dit_forget(
         # replicated optimizer state on any chip).
         if parallelism == "fsdp":
             for f in ("params", "ema_params", "opt_state", "mask"):
+                if f == "mask" and pack_mask:
+                    continue  # packed bits don't match param specs; at
+                              # 1 bit/elem a replicated mask is cheap
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_fsdp(getattr(state, f),
                                                         mesh))
         elif parallelism == "tp":
             for f in ("params", "ema_params", "opt_state", "mask"):
+                if f == "mask" and pack_mask:
+                    continue  # packed bits don't match param specs; at
+                              # 1 bit/elem a replicated mask is cheap
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_tp(getattr(state, f),
                                                       mesh))
@@ -147,6 +164,9 @@ def dit_forget(
                     "e.g. --mesh stage=4")
             n_mb = pp_microbatches or mesh.shape["stage"]
             for f in ("params", "ema_params", "opt_state", "mask"):
+                if f == "mask" and pack_mask:
+                    continue  # packed bits don't match param specs; at
+                              # 1 bit/elem a replicated mask is cheap
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_pp(getattr(state, f),
                                                       mesh))

@@ -30,12 +30,15 @@ from uurg_tpu.workloads.sd import SDWorkload
 log = logging.getLogger("uurg.sd")
 
 
-def _method_optimizer(unet_params, train_method: str, lr: float):
+def _method_optimizer(unet_params, train_method: str, lr: float,
+                      nu_dtype=None):
     """Adam over the train_method parameter subset only; frozen layers get
     optax.set_to_zero (no update, NO optimizer state — fits the 860M UNet on
     16GB), exactly the reference's param-group selection
-    (SD/train-scripts/nsfw_removal.py:67-81)."""
-    base = make_optimizer("adam", lr, mu_dtype=jnp.bfloat16)
+    (SD/train-scripts/nsfw_removal.py:67-81). ``nu_dtype=bf16`` halves the
+    second moment too (train_method=full: -1.7GB)."""
+    base = make_optimizer("adam", lr, mu_dtype=jnp.bfloat16,
+                          nu_dtype=nu_dtype)
     if train_method == "full":
         return base
     leaf_mask = train_method_leaf_mask(unet_params, train_method)
@@ -79,13 +82,21 @@ def nsfw_removal(
                                # fsdp fallback for convs; docs/SCALING.md)
                                # | "sp" (ring attention over 'seq')
     grad_accum: int = 1,       # microbatches per optimizer update
+    nu_dtype=None,             # Adam second-moment dtype (bf16: -1.7GB
+                               # at train_method=full)
+    pack_mask: bool = False,   # bit-pack the saliency mask 8x
 ):
     """SFR-on concept erasure (SD/train-scripts/nsfw_removal.py:38-214).
 
     train_method freezing happens at the optimizer level (optax.masked —
     no state for frozen layers); the elementwise mask slot carries only the
     Fisher saliency mask."""
-    opt = _method_optimizer(unet_params, train_method, lr)
+    opt = _method_optimizer(unet_params, train_method, lr,
+                            nu_dtype=nu_dtype)
+    if pack_mask and saliency_mask is not None:
+        from uurg_tpu.core.tree import pack_mask as _pack
+
+        saliency_mask = _pack(saliency_mask)
     cfg = SFRonConfig(n_iters=n_iters, forget_alpha=forget_alpha,
                       remain_alpha=remain_alpha, alpha_sched="const",
                       forget_clip=None, remain_clip=None,
@@ -109,11 +120,17 @@ def nsfw_removal(
         # paths end with (ZeRO-style: no replicated optimizer state).
         if parallelism == "fsdp":
             for f in ("params", "opt_state", "mask"):
+                if f == "mask" and pack_mask:
+                    continue  # packed bits don't match param specs;
+                              # replicated at 1 bit/elem is cheap
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_fsdp(getattr(state, f),
                                                         mesh))
         elif parallelism == "tp":
             for f in ("params", "opt_state", "mask"):
+                if f == "mask" and pack_mask:
+                    continue  # packed bits don't match param specs;
+                              # replicated at 1 bit/elem is cheap
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_tp(
                         getattr(state, f), mesh, SD_TP_RULES,
