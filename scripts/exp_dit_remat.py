@@ -26,16 +26,19 @@ if jax.default_backend() == "tpu":
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 VARIANTS = {
-    #          remat_policy  nu_dtype       packed_mask
-    "base":   (None,         None,          False),
-    "attn":   ("attn",       None,          False),
-    "dots16": ("dots",       jnp.bfloat16,  True),
-    "attn16": ("attn",       jnp.bfloat16,  True),
+    #          remat_policy  nu_dtype       packed_mask  batch
+    "base":   (None,         None,          False,       16),
+    "attn":   ("attn",       None,          False,       16),
+    "dots16": ("dots",       jnp.bfloat16,  True,        16),
+    "attn16": ("attn",       jnp.bfloat16,  True,        16),
+    # the other way to spend the freed ~2GB: double the batch under full
+    # remat (per-image throughput if the b16 step is occupancy-bound)
+    "b32":    (None,         jnp.bfloat16,  True,        32),
 }
 
 
-def main(variant: str, batch=16, n_steps=10):
-    policy, nu_dtype, packed = VARIANTS[variant]
+def main(variant: str, n_steps=10):
+    policy, nu_dtype, packed, batch = VARIANTS[variant]
 
     from uurg_tpu.core.tree import pack_mask
     from uurg_tpu.train import make_optimizer
@@ -96,7 +99,8 @@ def main(variant: str, batch=16, n_steps=10):
         state, _ = step_c(state, fb, rb, jax.random.key(3))
     float(jnp.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0])
     dt = time.perf_counter() - t0
-    print(f"RESULT {variant}: {n_steps/dt:.3f} steps/sec")
+    print(f"RESULT {variant}: {n_steps/dt:.3f} steps/sec "
+          f"(batch {batch}, {n_steps*batch/dt:.1f} imgs/sec/phase-pair)")
 
 
 if __name__ == "__main__":

@@ -22,28 +22,45 @@ PyTree = Any
 class PackedMask:
     """A boolean mask leaf bit-packed 8x (uint8, 1 bit/element).
 
-    A bool saliency mask for DiT-XL/2 is 675MB of HBM; packed it is 84MB —
-    headroom that buys a faster remat policy on a 16GB chip. ``tree_mul``
-    unpacks at the multiply site (XLA fuses the unpack into the elementwise
-    product; the uint8 intermediate never hits HBM at full size)."""
+    A bool saliency mask for DiT-XL/2 is 675MB of HBM; packed it is 84MB.
+    ``tree_mul`` unpacks at the multiply site.
 
-    bits: jnp.ndarray                                     # uint8, 1-D
+    Bit-PLANE layout, not numpy packbits: byte i carries bit b for flat
+    element ``b*M + i`` (M = ceil(N/8)). Unpacking is then a ``[8, M]``
+    shift-and-mask whose minor dimension is M (huge), followed by a free
+    row-major reshape to ``[8*M]`` — measured on v5e, the packbits layout
+    ``[M, 8]`` (minor dim 8) tile-pads 16x and one DiT-XL mlp kernel's
+    unpack alone allocated 8.86GB of HLO temp (OOM); the plane layout
+    pads ~1x."""
+
+    bits: jnp.ndarray                                     # uint8, [M]
     shape: tuple = dataclasses.field(metadata=dict(static=True))
 
     def unpack(self, dtype=jnp.float32) -> jnp.ndarray:
         n = math.prod(self.shape) if self.shape else 1
-        return (jnp.unpackbits(self.bits, count=n)
-                .reshape(self.shape).astype(dtype))
+        rows = (self.bits[None, :]
+                >> jnp.arange(8, dtype=jnp.uint8)[:, None]) & jnp.uint8(1)
+        return rows.reshape(-1)[:n].astype(dtype).reshape(self.shape)
 
 
 def pack_mask(mask: PyTree) -> PyTree:
     """Bit-pack every leaf of a 0/1 (or bool) mask pytree."""
 
+    def _pack_leaf(l):
+        import functools
+
+        flat = jnp.ravel(l) != 0
+        m = -(-flat.size // 8)  # bytes per plane
+        flat = jnp.pad(flat, (0, m * 8 - flat.size))
+        planes = flat.reshape(8, m).astype(jnp.uint8)
+        byte = functools.reduce(
+            jnp.bitwise_or,
+            [planes[b] << jnp.uint8(b) for b in range(8)])
+        return PackedMask(byte, tuple(l.shape))
+
     @jax.jit
-    def _pack(m):
-        return jax.tree_util.tree_map(
-            lambda l: PackedMask(jnp.packbits(jnp.ravel(l) != 0),
-                                 tuple(l.shape)), m)
+    def _pack(t):
+        return jax.tree_util.tree_map(_pack_leaf, t)
 
     return _pack(mask)
 
