@@ -117,3 +117,22 @@ def test_render_bench_table(tmp_path):
          "--json", str(jpath), "--readme", str(readme), "--check"],
         capture_output=True, text=True, timeout=60)
     assert out.returncode == 0, out.stderr
+
+
+def test_render_table_prefers_curated_record():
+    """newest_record() must rank the curated full-suite record
+    (BENCH_measured.json) above driver BENCH_rNN.json files — the round-4
+    regression: BENCH_r03 (parsed=null) fell through to BENCH_r02, whose
+    payload has no 'all' array, and the table silently rendered 0 rows."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "render_bench_table",
+        os.path.join(root, "scripts/render_bench_table.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rec, label = mod.newest_record()
+    assert label == "BENCH_measured.json"
+    assert rec.get("all"), "curated record must carry the full metric array"
