@@ -156,3 +156,16 @@ def test_stack_microbatches_passthrough_n1():
         yield from range(3)
 
     assert list(stack_microbatches(iter(gen()), 1)) == [0, 1, 2]
+
+
+def test_amsgrad_rejects_nu_dtype():
+    """nu_dtype silently no-oped under amsgrad (round-4 advisor, low):
+    now it raises instead of leaving nu in f32 without warning."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from uurg_tpu.train import make_optimizer
+
+    opt = make_optimizer("adam", 1e-3, amsgrad=True, nu_dtype=jnp.bfloat16)
+    with _pytest.raises(NotImplementedError):
+        opt.init({"w": jnp.ones((2,))})

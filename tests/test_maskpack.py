@@ -145,3 +145,12 @@ def test_nu_dtype_bf16_state_and_accuracy():
     # lr=1e-3 updates the params must still track the f32 run closely
     np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
                                rtol=0.02, atol=2e-4)
+
+
+def test_mask_is_packed_detects_leaf_type():
+    from uurg_tpu.core.tree import mask_is_packed, pack_mask
+
+    raw = {"a": {"w": jnp.ones((4, 3)) > 0}}
+    assert not mask_is_packed(raw)
+    assert mask_is_packed(pack_mask(raw))
+    assert not mask_is_packed(None)

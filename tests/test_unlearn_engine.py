@@ -354,3 +354,22 @@ def test_scan_chunk_matches_per_step():
                     jax.tree_util.tree_leaves(s2.ema_params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_init_state_preserves_mask_dtype_and_does_not_alias():
+    """Round-4 advisor (high): the donation-safety copy used ``x + 0``,
+    which type-promotes bool mask leaves to int32 (4x the HBM — OOM at
+    DiT-XL scale). init_state must keep bool masks bool, and still return
+    fresh buffers (no aliasing with the caller's trees)."""
+    import optax
+    from uurg_tpu.unlearn.sfron import init_state
+
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    mask = {"w": jnp.array([[True, False]] * 2)}
+    state = init_state(params, optax.sgd(0.1), ema=True, mask=mask)
+    assert state.mask["w"].dtype == jnp.bool_, state.mask["w"].dtype
+    assert state.params["w"].dtype == jnp.float32
+    assert state.ema_params["w"].dtype == jnp.float32
+    # fresh buffers: donating the state must not invalidate the originals
+    assert state.params["w"] is not params["w"]
+    assert state.mask["w"] is not mask["w"]

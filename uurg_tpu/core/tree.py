@@ -113,6 +113,16 @@ def _mask_leaves(tree: PyTree):
         tree, is_leaf=lambda n: isinstance(n, PackedMask))
 
 
+def mask_is_packed(tree: PyTree) -> bool:
+    """True if any leaf of ``tree`` is a PackedMask node.
+
+    Runners use this (not their ``pack_mask`` CLI flag) to decide whether
+    the mask can be sharded with param PartitionSpecs: a pre-packed mask
+    passed by a caller must be skipped regardless of the flag — packed
+    bit-planes don't match param shapes."""
+    return any(isinstance(l, PackedMask) for l in _mask_leaves(tree))
+
+
 def tree_size(tree: PyTree) -> int:
     return sum(math.prod(l.shape) if isinstance(l, PackedMask) else l.size
                for l in _mask_leaves(tree))

@@ -89,6 +89,12 @@ def _adam_l2(learning_rate, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0,
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))
     if amsgrad:
+        if nu_dtype is not None:
+            # fail loudly instead of silently keeping nu in f32 — the
+            # "adam/adamw only" note on make_optimizer is now enforced
+            raise NotImplementedError(
+                "nu_dtype is not supported with amsgrad (optax's "
+                "scale_by_amsgrad keeps nu/nu_max in f32)")
         parts.append(optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps,
                                             mu_dtype=mu_dtype))
     elif nu_dtype is not None:

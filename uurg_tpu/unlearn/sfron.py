@@ -79,11 +79,14 @@ def init_state(params, optimizer: optax.GradientTransformation,
     opt_state = jax.jit(optimizer.init)(params)  # single device dispatch
     # fresh copies: the step donates its input state, which would otherwise
     # invalidate the caller's params buffers (and ema must not alias params)
-    copy = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))
+    # jnp.copy forces a fresh buffer WITHOUT dtype promotion (``x + 0``
+    # would type-promote bool mask leaves to int32 — 4x the mask memory)
+    copy = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
     ema_params = None
     if ema:
         ema_params = jax.jit(lambda t: jax.tree_util.tree_map(
-            lambda x: x.astype(ema_dtype) if ema_dtype else x + 0, t))(params)
+            lambda x: x.astype(ema_dtype) if ema_dtype else jnp.copy(x),
+            t))(params)
     return SFRonState(
         step=jnp.zeros((), jnp.int32),
         params=copy(params),

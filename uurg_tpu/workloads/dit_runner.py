@@ -27,6 +27,7 @@ from uurg_tpu.unlearn import (
     make_sfron_step,
     mask_sparsity,
 )
+from uurg_tpu.core.tree import mask_is_packed
 from uurg_tpu.unlearn.sfron import init_state
 from uurg_tpu.workloads.dit import DiTWorkload
 
@@ -135,17 +136,23 @@ def dit_forget(
         # replicated optimizer state on any chip).
         if parallelism == "fsdp":
             for f in ("params", "ema_params", "opt_state", "mask"):
-                if f == "mask" and pack_mask:
+                if f == "mask" and mask_is_packed(state.mask):
                     continue  # packed bits don't match param specs; at
                               # 1 bit/elem a replicated mask is cheap
+                              # (keyed off the tree's actual leaves, not
+                              # the pack_mask flag — callers may pass a
+                              # pre-packed mask)
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_fsdp(getattr(state, f),
                                                         mesh))
         elif parallelism == "tp":
             for f in ("params", "ema_params", "opt_state", "mask"):
-                if f == "mask" and pack_mask:
+                if f == "mask" and mask_is_packed(state.mask):
                     continue  # packed bits don't match param specs; at
                               # 1 bit/elem a replicated mask is cheap
+                              # (keyed off the tree's actual leaves, not
+                              # the pack_mask flag — callers may pass a
+                              # pre-packed mask)
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_tp(getattr(state, f),
                                                       mesh))
@@ -164,9 +171,12 @@ def dit_forget(
                     "e.g. --mesh stage=4")
             n_mb = pp_microbatches or mesh.shape["stage"]
             for f in ("params", "ema_params", "opt_state", "mask"):
-                if f == "mask" and pack_mask:
+                if f == "mask" and mask_is_packed(state.mask):
                     continue  # packed bits don't match param specs; at
                               # 1 bit/elem a replicated mask is cheap
+                              # (keyed off the tree's actual leaves, not
+                              # the pack_mask flag — callers may pass a
+                              # pre-packed mask)
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_pp(getattr(state, f),
                                                       mesh))

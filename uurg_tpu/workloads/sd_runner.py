@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from uurg_tpu.core.tree import mask_is_packed
 from uurg_tpu.models.autoencoder_kl import AutoencoderKL
 from uurg_tpu.models.sd_unet import train_method_leaf_mask
 from uurg_tpu.train import make_optimizer
@@ -120,17 +121,21 @@ def nsfw_removal(
         # paths end with (ZeRO-style: no replicated optimizer state).
         if parallelism == "fsdp":
             for f in ("params", "opt_state", "mask"):
-                if f == "mask" and pack_mask:
+                if f == "mask" and mask_is_packed(state.mask):
                     continue  # packed bits don't match param specs;
-                              # replicated at 1 bit/elem is cheap
+                              # replicated at 1 bit/elem is cheap (keyed
+                              # off the tree's leaves, not the pack_mask
+                              # flag — callers may pass pre-packed masks)
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_fsdp(getattr(state, f),
                                                         mesh))
         elif parallelism == "tp":
             for f in ("params", "opt_state", "mask"):
-                if f == "mask" and pack_mask:
+                if f == "mask" and mask_is_packed(state.mask):
                     continue  # packed bits don't match param specs;
-                              # replicated at 1 bit/elem is cheap
+                              # replicated at 1 bit/elem is cheap (keyed
+                              # off the tree's leaves, not the pack_mask
+                              # flag — callers may pass pre-packed masks)
                 if getattr(state, f) is not None:
                     setattr(state, f, shard_params_tp(
                         getattr(state, f), mesh, SD_TP_RULES,
