@@ -26,7 +26,10 @@ def main():
                    help="accepted for reference parity (device placement "
                         "is JAX-managed)")
     p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "plms"])
+                   choices=["ddim", "plms", "lms"],
+                   help="lms = the diffusers LMSDiscreteScheduler protocol "
+                        "the reference evaluator runs "
+                        "(SD/eval-scripts/generate-images.py)")
     p.add_argument("--num_samples", type=int, default=1)
     p.add_argument("--ddim_steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=7.5)

@@ -244,6 +244,99 @@ def plms_sample(
     return x
 
 
+def lms_coefficients(sigmas: np.ndarray, order: int = 4) -> np.ndarray:
+    """Integrated Lagrange-basis coefficients for sigma-space linear
+    multistep (LMS) sampling.
+
+    Parity: the diffusers ``LMSDiscreteScheduler.get_lms_coefficient`` used
+    by the reference image-gen evaluator (SD/eval-scripts/
+    generate-images.py:86-91).  ``sigmas`` holds the N descending noise
+    levels plus the trailing 0 (N+1 entries).  Returns an (N, order) array:
+    row i weights the most recent ``min(i+1, order)`` eps-derivatives
+    (column 0 = newest); unused columns are zero, so the compiled scan body
+    is one static dot against the history ring — the warmup order ramp
+    costs no control flow.  The degree-<=3 Lagrange basis polynomials are
+    integrated ANALYTICALLY (np.poly/np.polyint) instead of the reference's
+    adaptive quadrature (epsrel=1e-4) — exact where diffusers approximates.
+    """
+    sigmas = np.asarray(sigmas, np.float64)
+    n = len(sigmas) - 1
+    out = np.zeros((n, order), np.float64)
+    for i in range(n):
+        cur = min(i + 1, order)
+        for j in range(cur):
+            roots = [sigmas[i - k] for k in range(cur) if k != j]
+            denom = float(np.prod([sigmas[i - j] - r for r in roots]))
+            # monic numerator polynomial, integrated analytically
+            # (atleast_1d: np.poly([]) is a 0-d scalar at order 1)
+            anti = np.polyint(np.atleast_1d(np.poly(roots)))
+            out[i, j] = (np.polyval(anti, sigmas[i + 1])
+                         - np.polyval(anti, sigmas[i])) / (denom or 1.0)
+    return out
+
+
+def lms_sample(
+    model_fn: ModelFn,
+    schedule: DiffusionSchedule,
+    x_init: jnp.ndarray,
+    num_steps: int,
+    *,
+    order: int = 4,
+) -> jnp.ndarray:
+    """LMS (linear multistep) sampling in sigma space — the diffusers
+    ``LMSDiscreteScheduler`` protocol the reference's generation evaluator
+    runs (SD/eval-scripts/generate-images.py:86-91,150-180).
+
+    Protocol notes, matched one-for-one:
+    - timesteps are the FLOAT grid ``linspace(T-1, 0, num_steps)`` with
+      sigmas ``sqrt((1-abar)/abar)`` linearly interpolated between training
+      levels, plus a trailing 0 (``set_timesteps``);
+    - ``x_init`` is UNIT Gaussian noise; the ``init_noise_sigma``
+      (= sigma_max) scaling happens here;
+    - the model input is pre-scaled by ``1/sqrt(sigma^2+1)``
+      (``scale_model_input``) and ``model_fn`` receives float timesteps
+      (the sinusoidal embedding interpolates smoothly);
+    - each step adds the dot of the precomputed row of
+      :func:`lms_coefficients` with the eps-derivative history
+      (``scheduler.step``).
+
+    The final sigma is 0, so the return value is the predicted x0 in VP
+    space — decodable exactly like ``ddim``/``plms`` output.  The whole
+    reverse process is one ``lax.scan`` with a (order, *x.shape) history
+    ring in the carry; coefficients are host-side constants.
+    """
+    ab = np.asarray(schedule.alphas_cumprod, np.float64)
+    full_sigmas = np.sqrt((1.0 - ab) / ab)
+    T = len(ab)
+    timesteps = np.linspace(T - 1, 0, num_steps, dtype=np.float64)
+    sigmas = np.concatenate(
+        [np.interp(timesteps, np.arange(T), full_sigmas), [0.0]])
+    coeffs = lms_coefficients(sigmas, order)
+
+    n = x_init.shape[0]
+    x = x_init * sigmas[0]
+    hist0 = jnp.zeros((order,) + x_init.shape, x_init.dtype)
+
+    def body(carry, step_in):
+        x, hist = carry
+        t_f, sigma, c = step_in
+        t_vec = jnp.full((n,), t_f, jnp.float32)
+        eps = model_fn(x / jnp.sqrt(sigma * sigma + 1.0), t_vec)
+        # derivative wrt sigma; for eps-prediction this IS eps, but route
+        # through x0 like the reference to match its fp rounding
+        x0 = x - sigma * eps
+        d = (x - x0) / sigma
+        hist = jnp.concatenate([d[None], hist[:-1]])
+        return (x + jnp.tensordot(c, hist, axes=1), hist), None
+
+    (x, _), _ = jax.lax.scan(
+        body, (x, hist0),
+        (jnp.asarray(timesteps, jnp.float32),
+         jnp.asarray(sigmas[:-1], jnp.float32),
+         jnp.asarray(coeffs, jnp.float32)))
+    return x
+
+
 def cfg_model_fn(
     apply_fn: Callable[..., jnp.ndarray],
     labels: jnp.ndarray,

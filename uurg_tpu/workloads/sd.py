@@ -151,10 +151,14 @@ class SDWorkload:
                      method: str = "ddim"):
         """Text-conditional CFG sampler -> latents (decode via VAE).
 
-        Parity: SD/ldm/models/diffusion/ddim.py (``method='ddim'``) and
-        plms.py (``method='plms'``, deterministic — ``eta`` ignored) +
-        eval-scripts/generate-images.py; CFG is eps_0 + g*(eps_c - eps_0)
-        via one batched double-forward.
+        Parity: SD/ldm/models/diffusion/ddim.py (``method='ddim'``),
+        plms.py (``method='plms'``, deterministic — ``eta`` ignored), and
+        the diffusers LMSDiscreteScheduler pipeline the reference's
+        generation evaluator assembles (``method='lms'`` —
+        SD/eval-scripts/generate-images.py:86-91,150-180; sigma-space
+        multistep over float timesteps, model input pre-scaled by
+        1/sqrt(sigma^2+1)); CFG is eps_0 + g*(eps_c - eps_0) via one
+        batched double-forward in every mode.
         """
         from uurg_tpu.diffusion import sampling as S
 
@@ -186,6 +190,11 @@ class SDWorkload:
                 k_init, (n, latent_size, latent_size, 4), jnp.float32)
             if method == "plms":
                 return S.plms_sample(model_fn, self.schedule, x_T, seq)
+            if method == "lms":
+                # lms scales x_T by init_noise_sigma itself and feeds the
+                # model float timesteps on its own interpolated grid (seq
+                # unused — the diffusers protocol has no +1 offset)
+                return S.lms_sample(model_fn, self.schedule, x_T, num_steps)
             return S.ddim_sample(model_fn, self.schedule, x_T, seq, eta=eta,
                                  key=k_s)
 
