@@ -63,7 +63,7 @@ def parse_args():
                         "(effective batch = grad_accum x batch size at the "
                         "activation memory of one batch)")
     p.add_argument("--remat_policy", type=str, default="full",
-                   choices=["full", "attn", "dots"],
+                   choices=["full", "attn", "dots", "attn+dots"],
                    help="backward rematerialization policy: full = "
                         "recompute every block (min HBM); attn = save "
                         "attention outputs; dots = save matmul outputs "

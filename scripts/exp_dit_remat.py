@@ -34,6 +34,14 @@ VARIANTS = {
     # the other way to spend the freed ~2GB: double the batch under full
     # remat (per-image throughput if the b16 step is occupancy-bound)
     "b32":    (None,         jnp.bfloat16,  True,        32),
+    # round-5 candidates: spend the dots headroom on batch, and compose
+    # the two measured-positive policies (dots can't see inside the
+    # flash-attention pallas_call; attn+dots saves its output too)
+    "dots24":     ("dots",      jnp.bfloat16, True, 24),
+    "dots32":     ("dots",      jnp.bfloat16, True, 32),
+    "attndots16": ("attn+dots", jnp.bfloat16, True, 16),
+    "attndots24": ("attn+dots", jnp.bfloat16, True, 24),
+    "attndots32": ("attn+dots", jnp.bfloat16, True, 32),
 }
 
 
