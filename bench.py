@@ -11,9 +11,16 @@ wall-clock at >= 2x A100.
 Also measured (round-3: regressions in ANY headline claim become visible):
   - ddim50_cfg_sampling_b128      imgs/sec, DDIM-50 with CFG double-forward
   - classification_sfron_b256     it/sec, ResNet-18 device-resident scan path
-  - evaluator_inception_features  imgs/sec, FID/sFID/IS feature extraction
+  - evaluator_inception_features  imgs/sec, FID/sFID/IS feature extraction,
+    BOTH end-to-end (host batches in, features downloaded — includes the
+    TPU tunnel) and _device (compute only): the gap is the tunnel bound
   - dit_xl2_sfron_step_b16        steps/sec, DiT-XL/2 675M two-phase step
   - sd_unet_nsfw_step_b4_xattn    steps/sec, SD 860M nsfw_removal step
+  - sd_unet_nsfw_step_b4_full     steps/sec, same step, full-parameter path
+
+``--mesh data=N`` additionally shards the headline DDPM step over N local
+devices (..._meshN metric) — no-op at N=1, free scaling numbers on any
+future multi-chip allotment.
 
 Output (timeout-proof by design — a driver kill mid-run must never zero the
 round's perf record, BENCH_r03 post-mortem): the headline metric dict
@@ -69,8 +76,14 @@ _EST = {
     # img/s on A100; the SFR-on iter moves TWO b256 batches -> ~30 it/s
     "classification_sfron_b256": 30.0,                 # it/sec
     "evaluator_inception_features_b256": 400.0,        # imgs/sec
+    # device-compute-only rate vs the same torch pipeline estimate: on an
+    # A100 (no tunnel) end-to-end ~= device rate, so the baseline is shared
+    "evaluator_inception_features_device_b256": 400.0,  # imgs/sec
     "dit_xl2_sfron_step_b16": 1.2,                     # steps/sec
     "sd_unet_nsfw_step_b4_xattn": 1.0,                 # steps/sec
+    # full-parameter path: torch backward reaches every param and Adam
+    # updates all 860M (xattn freezes ~90% of the update work) -> ~0.8
+    "sd_unet_nsfw_step_b4_full": 0.8,                  # steps/sec
 }
 
 
@@ -176,17 +189,21 @@ def _lowered_flops(fn, *args):
         return None
 
 
-def _metric(name, value, unit, flops=None, calls_per_sec=None):
+def _metric(name, value, unit, flops=None, calls_per_sec=None,
+            est_name=None, n_chips=1):
     """``flops`` is per compiled call; ``calls_per_sec`` converts it to a
-    FLOP rate when one call != one unit of ``value`` (img/sec, it/sec)."""
+    FLOP rate when one call != one unit of ``value`` (img/sec, it/sec).
+    ``est_name`` keys the baseline estimate when ``name`` carries a suffix
+    (e.g. the _meshN variants share the single-chip baseline); ``n_chips``
+    scales the peak-FLOPs denominator for mesh runs."""
     m = {"metric": name, "value": round(value, 3), "unit": unit,
-         "vs_baseline": round(value / _EST[name], 3)}
+         "vs_baseline": round(value / _EST[est_name or name], 3)}
     if flops is not None:
         rate = calls_per_sec if calls_per_sec is not None else value
         m["flops_per_step"] = flops
         peak = _chip_peak_flops()
         if peak:
-            m["mfu"] = round(flops * rate / peak, 4)
+            m["mfu"] = round(flops * rate / (peak * n_chips), 4)
             if m["mfu"] > 1.0:  # physically impossible: timing didn't sync
                 m["timing_suspect"] = True
     return m
@@ -229,14 +246,23 @@ def _random_mask(params, key):
     return mask
 
 
-def bench_ddpm_sfron_step(batch=128, n_steps=30):
+def bench_ddpm_sfron_step(batch=128, n_steps=30, mesh_n=1, wl_factory=None):
     """Headline: the fused two-phase step (DDPM/runners/diffusion.py
-    sfron_forget hot loop, 1075-1176) at batch 128."""
+    sfron_forget hot loop, 1075-1176) at batch 128.
+
+    ``mesh_n > 1`` runs the SAME step data-sharded over the first
+    ``mesh_n`` local devices (the ddpm_runner._data_sharding layout: state
+    replicated, batch leading axis split over a 1-D 'data' mesh) and
+    records the metric as ..._mesh{N} against the single-chip baseline —
+    the driver gets scaling numbers for free on any future multi-chip
+    allotment. At mesh_n=1 this is byte-identical to the default bench.
+    ``wl_factory`` overrides the workload for the tiny-config mesh smoke
+    test (tests/test_bench_mesh.py)."""
     from uurg_tpu.train import make_optimizer
     from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
     from uurg_tpu.unlearn.sfron import init_state
 
-    wl = _ddpm_workload(batch)
+    wl = (wl_factory or _ddpm_workload)(batch)
     note("ddpm: init_params...")
     params = wl.init_params(jax.random.key(0))
     jax.block_until_ready(params)
@@ -256,6 +282,20 @@ def bench_ddpm_sfron_step(batch=128, n_steps=30):
     rb = (jax.random.normal(jax.random.fold_in(kd, 1), (batch, 32, 32, 3)) * 0.5,
           jax.random.randint(jax.random.fold_in(kd, 2), (batch,), 1, 10))
 
+    name = "ddpm_cifar10_sfron_two_phase_step_b128"
+    if mesh_n > 1:
+        import numpy as np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        if batch % mesh_n:
+            raise ValueError(f"batch {batch} not divisible by mesh {mesh_n}")
+        mesh = Mesh(np.asarray(jax.devices()[:mesh_n]), ("data",))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        data_sh = NamedSharding(mesh, P("data"))
+        fb = jax.device_put(fb, data_sh)
+        rb = jax.device_put(rb, data_sh)
+        name = f"{name}_mesh{mesh_n}"
+
     note("ddpm: compiling two-phase step...")
     step_c, flops = _aot(step, state, fb, rb, jax.random.key(3))
     state, _ = step_c(state, fb, rb, jax.random.key(3))
@@ -266,8 +306,9 @@ def bench_ddpm_sfron_step(batch=128, n_steps=30):
         state, metrics = step_c(state, fb, rb, jax.random.key(3))
     _sync(state.params)
     dt = time.perf_counter() - t0
-    return _metric("ddpm_cifar10_sfron_two_phase_step_b128", n_steps / dt,
-                   "steps/sec", flops=flops)
+    return _metric(name, n_steps / dt, "steps/sec", flops=flops,
+                   est_name="ddpm_cifar10_sfron_two_phase_step_b128",
+                   n_chips=mesh_n)
 
 
 def bench_ddim50_sampling(batch=128, n_rounds=3):
@@ -395,7 +436,7 @@ def bench_evaluator(batch=256, n_batches=20):
     imgs_dev = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, (batch, 32, 32, 3), np.uint8))
     note("evaluator: compiling inception...")
-    _, flops = _aot(run, imgs_dev)  # cost of the per-batch program
+    run_c, flops = _aot(run, imgs_dev)  # cost of the per-batch program
     extractor = make_extractor(variables, materialize=False)
     images = np.asarray(imgs_dev)
     all_images = np.broadcast_to(
@@ -405,9 +446,25 @@ def bench_evaluator(batch=256, n_batches=20):
     out = featurize(extractor, all_images, batch_size=batch)
     dt = time.perf_counter() - t0
     del out
-    return _metric("evaluator_inception_features_b256",
-                   n_batches * batch / dt, "imgs/sec",
-                   flops=flops, calls_per_sec=n_batches / dt)
+    e2e = _metric("evaluator_inception_features_b256",
+                  n_batches * batch / dt, "imgs/sec",
+                  flops=flops, calls_per_sec=n_batches / dt)
+    # device-compute-only rate (features never leave the chip; one final
+    # data-dependent scalar fetch forces completion): separates "is the
+    # extractor fast" from "how fast is this box's tunnel" — the two were
+    # conflated before (round-4 verdict). The e2e/device ratio IS the
+    # measured tunnel bound; README quantifies it in GB/s.
+    out = run_c(imgs_dev)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        out = run_c(imgs_dev)
+    _sync(out)
+    dt_dev = time.perf_counter() - t0
+    dev = _metric("evaluator_inception_features_device_b256",
+                  n_batches * batch / dt_dev, "imgs/sec",
+                  flops=flops, calls_per_sec=n_batches / dt_dev)
+    return [e2e, dev]
 
 
 def bench_dit_xl(batch=16, n_steps=10):
@@ -484,9 +541,16 @@ def bench_dit_xl(batch=16, n_steps=10):
                    flops=flops)
 
 
-def bench_sd(batch=4, n_steps=10):
-    """SD-v1 UNet (860M) nsfw_removal two-phase step at batch 4,
-    train_method=xattn (SD/train-scripts/nsfw_removal.py:108-203)."""
+def bench_sd(batch=4, n_steps=10, train_method="xattn"):
+    """SD-v1 UNet (860M) nsfw_removal two-phase step at batch 4
+    (SD/train-scripts/nsfw_removal.py:67-77,108-203).
+
+    ``train_method='xattn'`` is the restricted protocol (cross-attention
+    params only — frozen layers carry NO optimizer state);
+    ``'full'`` is what the headline NSFW-removal protocol trains
+    unrestricted: Adam over all 860M params, run with bf16 second moments
+    (the ``--nu_dtype bf16`` CLI knob; -1.7GB — the full-path moments
+    otherwise crowd the 16GB chip)."""
     from uurg_tpu.models.sd_unet import init_sd_unet, SDUNetConfig
     from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
     from uurg_tpu.unlearn.sfron import init_state
@@ -496,7 +560,9 @@ def bench_sd(batch=4, n_steps=10):
     wl = SDWorkload.build()
     note("sd: init_params (860M)...")
     _, unet_params = init_sd_unet(jax.random.key(0), SDUNetConfig())
-    opt = _method_optimizer(unet_params, "xattn", 1e-5)
+    opt = _method_optimizer(
+        unet_params, train_method, 1e-5,
+        nu_dtype=jnp.bfloat16 if train_method == "full" else None)
     cfg = SFRonConfig(n_iters=1000, forget_alpha=1.0, remain_alpha=1.0,
                       alpha_sched="const", forget_clip=None, remain_clip=None)
     step = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
@@ -529,8 +595,8 @@ def bench_sd(batch=4, n_steps=10):
         state, _ = step_c(state, fb, rb, jax.random.key(3))
     _sync(state.params)
     dt = time.perf_counter() - t0
-    return _metric("sd_unet_nsfw_step_b4_xattn", n_steps / dt, "steps/sec",
-                   flops=flops)
+    return _metric(f"sd_unet_nsfw_step_b{batch}_{train_method}",
+                   n_steps / dt, "steps/sec", flops=flops)
 
 
 BENCHES = [
@@ -540,6 +606,7 @@ BENCHES = [
     ("evaluator", bench_evaluator),
     ("dit", bench_dit_xl),
     ("sd", bench_sd),
+    ("sd_full", lambda: bench_sd(train_method="full")),
 ]
 
 
@@ -561,6 +628,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default="",
                     help="comma-separated bench names (default: all)")
+    ap.add_argument("--mesh", type=str, default="",
+                    help="'data=N': run the headline DDPM step data-sharded "
+                         "over the first N local devices, recorded as "
+                         "..._meshN. N=1 (or unset) is the plain single-chip "
+                         "bench; on a multi-chip allotment this gives the "
+                         "driver scaling numbers with no code change")
     ap.add_argument("--budget", type=float,
                     default=float(os.environ.get("BENCH_BUDGET_SEC", "1200")),
                     help="wall-clock budget (sec). The headline DDPM bench "
@@ -570,6 +643,14 @@ def main():
                          "mid-bench (BENCH_r03: rc=124, parsed=null)")
     args = ap.parse_args()
     only = {s for s in args.only.split(",") if s}
+    mesh_n = 1
+    if args.mesh:
+        axis, _, n = args.mesh.partition("=")
+        if axis != "data" or not n.isdigit():
+            ap.error(f"--mesh must look like data=N, got {args.mesh!r}")
+        mesh_n = min(int(n), len(jax.devices()))
+        if mesh_n != int(n):
+            note(f"--mesh data={n}: only {mesh_n} local device(s), clamped")
 
     from uurg_tpu.utils.rng import configure_rng
 
@@ -589,14 +670,15 @@ def main():
         note(f"=== {name} ===")
         try:
             t0 = time.perf_counter()
-            m = fn()
-            note(f"{name}: {m['value']} {m['unit']} "
-                 f"({time.perf_counter() - t0:.0f}s incl. compile)")
-            results.append(m)
-            # the headline lands on stdout THE MOMENT it exists: any later
-            # timeout/kill still leaves the driver a parseable perf line
-            if m.get("metric") == HEADLINE and "value" in m:
-                print(json.dumps(m), flush=True)
+            out = fn(mesh_n=mesh_n) if name == "ddpm" and mesh_n > 1 else fn()
+            for m in (out if isinstance(out, list) else [out]):
+                note(f"{name}: {m['metric']} {m['value']} {m['unit']} "
+                     f"({time.perf_counter() - t0:.0f}s incl. compile)")
+                results.append(m)
+                # the headline lands on stdout THE MOMENT it exists: any
+                # later timeout/kill still leaves a parseable perf line
+                if m.get("metric") == HEADLINE and "value" in m:
+                    print(json.dumps(m), flush=True)
         except Exception as e:  # record the failure, keep benching
             note(f"{name} FAILED: {e!r}")
             results.append({"metric": name, "error": repr(e)})
