@@ -59,6 +59,12 @@ def parse_args():
                         "class has a well-defined nearest retained class "
                         "(CIFAR-like confusability; makes JS-vs-Retrain "
                         "attainable — see data.synthetic_dataset)")
+    p.add_argument("--synthetic_noise", type=float, default=0.1,
+                   help="stand-in data only: per-sample noise sigma. "
+                        "Raising it (~0.5) opens a real train/test "
+                        "confidence gap so the SVC-MIA columns land "
+                        "strictly inside (0,1) instead of saturating "
+                        "(see data.synthetic_dataset)")
     p.add_argument("--batch_size", "-b", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--save_path", type=str, default="results/classification")
@@ -100,10 +106,12 @@ def main():
         # generate a disjoint class distribution: test accuracy at chance)
         train_ds = synthetic_dataset(2048, 32, 3, args.num_classes, args.seed,
                                      base_seed=args.seed,
-                                     class_affinity=args.synthetic_affinity)
+                                     class_affinity=args.synthetic_affinity,
+                                     noise_sigma=args.synthetic_noise)
         test_ds = synthetic_dataset(512, 32, 3, args.num_classes,
                                     args.seed + 1, base_seed=args.seed,
-                                    class_affinity=args.synthetic_affinity)
+                                    class_affinity=args.synthetic_affinity,
+                                    noise_sigma=args.synthetic_noise)
 
     if args.forget_mode == "class":
         from uurg_tpu.data import class_forget_split

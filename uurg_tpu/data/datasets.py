@@ -25,7 +25,8 @@ dataset_registry = Registry("dataset")
 def synthetic_dataset(n: int = 512, resolution: int = 32, channels: int = 3,
                       n_classes: int = 10, seed: int = 0,
                       base_seed: int | None = None,
-                      class_affinity: float = 0.0) -> ArrayDataset:
+                      class_affinity: float = 0.0,
+                      noise_sigma: float = 0.1) -> ArrayDataset:
     """Class-structured fake images: each class has a distinct mean pattern
     so unlearning/eval logic is actually exercised.
 
@@ -45,7 +46,16 @@ def synthetic_dataset(n: int = 512, resolution: int = 32, channels: int = 3,
     predictions on forget samples are per-sample noise, making the
     JS-vs-Retrain comparison (Classification/evaluation/js_div.py:17-29)
     unattainable for ANY unlearning method. Default 0.0 = bit-stable
-    legacy patterns."""
+    legacy patterns.
+
+    ``noise_sigma`` sets the per-sample Gaussian noise around the class
+    mean. The 0.1 default makes the task trivially generalizable — members
+    and non-members are then indistinguishable to a membership attacker
+    and the SVC-MIA columns saturate at the 0/1 boundary (round-4 verdict:
+    a degenerate discriminator). Raising it (the efficacy gate uses ~0.5)
+    opens a real train/test confidence gap, the way CIFAR overfitting
+    does, so Retrain's SVC-MIA lands strictly inside (0,1) and
+    over-forgetting becomes detectable."""
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, n_classes, n).astype(np.int64)
     base_rng = rng if base_seed is None else np.random.default_rng(base_seed)
@@ -54,7 +64,8 @@ def synthetic_dataset(n: int = 512, resolution: int = 32, channels: int = 3,
     if class_affinity > 0.0:
         a = float(class_affinity)
         base = (1.0 - a) * base + a * np.roll(base, -1, axis=0)
-    noise = rng.normal(0, 0.1, (n, resolution, resolution, channels))
+    noise = rng.normal(0, noise_sigma,
+                       (n, resolution, resolution, channels))
     images = np.clip(base[labels] + noise.astype(np.float32), 0, 1)
     return ArrayDataset(images, labels)
 
