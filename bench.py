@@ -470,17 +470,20 @@ def bench_evaluator(batch=256, n_batches=20):
 def bench_dit_xl(batch=16, n_steps=10):
     """DiT-XL/2 (675M) two-phase step at batch 16 latents (DiT/forget.py
     hot loop) — the full memory policy: bf16 Adam mu AND nu, bf16 EMA,
-    bit-packed saliency mask, remat_policy="dots". The bf16-nu (-1.35GB)
-    + packed-mask (-0.52GB) headroom is what lets "dots" (save matmul
-    outputs, skip most backward recompute) fit on one 16GB chip; measured
-    +4.5% over full remat (scripts/exp_dit_remat.py)."""
+    bit-packed saliency mask, remat_policy="attn+dots". The bf16-nu
+    (-1.35GB) + packed-mask (-0.52GB) headroom is what lets the save-
+    everything-expensive policy (MXU outputs via "dots" + the flash-
+    attention outputs "dots" can't see inside the pallas_call) fit on one
+    16GB chip: 3.22 steps/s vs 3.10 dots-only vs 2.96 full remat; batch
+    24/32 variants measured FLAT per-image (scripts/exp_dit_remat.py) —
+    the step is matmul-bound, not occupancy-bound."""
     from uurg_tpu.core.tree import pack_mask
     from uurg_tpu.train import make_optimizer
     from uurg_tpu.unlearn import SFRonConfig, make_sfron_step
     from uurg_tpu.unlearn.sfron import init_state
     from uurg_tpu.workloads.dit import DiTWorkload
 
-    wl = DiTWorkload.build("DiT-XL/2", remat_policy="dots")
+    wl = DiTWorkload.build("DiT-XL/2", remat_policy="attn+dots")
     note("dit: init_params (675M)...")
     params = wl.init_params(jax.random.key(0))
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])

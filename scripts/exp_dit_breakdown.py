@@ -10,11 +10,20 @@ Usage: python scripts/exp_dit_breakdown.py [policy]
 """
 import dataclasses
 import gc
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
+
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timeit(fn, *args, n=10, label=""):

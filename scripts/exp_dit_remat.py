@@ -6,6 +6,16 @@ The round-3 measurement (README): full remat 2.96 steps/s (34.5% model-MFU),
 should let "dots" fit — skipping most backward recompute (~25% of step
 FLOPs under full remat).
 
+Round-4 results: dots16 3.096 steps/s (+4.5% over full remat; adopted).
+Round-5 results (v5e, 10-step timing after AOT compile):
+    attndots16  3.222 steps/s  51.5 img/s  temp 8.49GiB   (+4.1% over dots16;
+                                                           adopted)
+    dots24      2.106 steps/s  50.5 img/s  temp 9.69GiB   (flat per-image)
+    attndots24  2.149 steps/s  51.6 img/s  temp 10.05GiB  (flat per-image)
+    dots32/attndots32: compile exceeded the 30-min relay budget; per-image
+    flatness at b24 already shows the step is matmul-bound, not
+    occupancy-bound — batch scaling is a measured NEGATIVE.
+
 Run one variant per process (fresh HBM):
     python scripts/exp_dit_remat.py base|attn|dots16|attn16
 """
@@ -42,6 +52,10 @@ VARIANTS = {
     "attndots16": ("attn+dots", jnp.bfloat16, True, 16),
     "attndots24": ("attn+dots", jnp.bfloat16, True, 24),
     "attndots32": ("attn+dots", jnp.bfloat16, True, 32),
+    # no remat wrapper at all: XLA keeps every intermediate it wants
+    # (attn+dots still recomputes the elementwise/LN chains in bwd —
+    # breakdown measures that at ~16ms/phase of the 310ms step)
+    "none16":     ("off",       jnp.bfloat16, True, 16),
 }
 
 
@@ -54,7 +68,10 @@ def main(variant: str, n_steps=10):
     from uurg_tpu.unlearn.sfron import init_state
     from uurg_tpu.workloads.dit import DiTWorkload
 
-    wl = DiTWorkload.build("DiT-XL/2", remat_policy=policy)
+    if policy == "off":  # drop the nn.remat wrapper entirely
+        wl = DiTWorkload.build("DiT-XL/2", remat=False)
+    else:
+        wl = DiTWorkload.build("DiT-XL/2", remat_policy=policy)
     print(f"[{variant}] init params...", file=sys.stderr, flush=True)
     params = wl.init_params(jax.random.key(0))
     jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
