@@ -59,6 +59,11 @@ def parse_args():
                         "class has a well-defined nearest retained class "
                         "(CIFAR-like confusability; makes JS-vs-Retrain "
                         "attainable — see data.synthetic_dataset)")
+    p.add_argument("--pretrain_lr", type=float, default=0.1,
+                   help="compare mode: pretrain/Retrain peak lr "
+                        "(main_pretrain.py recipe default). Lower it (~0.05)"
+                        " on noisy stand-in data — the 0.1 default "
+                        "diverges at --synthetic_noise >= 0.3")
     p.add_argument("--synthetic_noise", type=float, default=0.1,
                    help="stand-in data only: per-sample noise sigma. "
                         "Raising it (~0.5) opens a real train/test "
@@ -148,6 +153,12 @@ def main():
             batch_size=args.batch_size, seed=args.seed,
             num_classes=args.num_classes,
             pretrain_epochs=args.pretrain_epochs,
+            pretrain_lr=args.pretrain_lr,
+            # Retrain trains from scratch with the same recipe the
+            # pretrain stage used — at the default 0.1 this is exactly the
+            # reference's retrain.py lr, so nothing changes unless the
+            # user lowered the lr for noisy stand-in data
+            overrides={"Retrain": {"lr": args.pretrain_lr}},
             pretrained=((params, batch_stats) if args.checkpoint else None),
             transform=aug,
             csv_path=os.path.join(args.save_path, "results.csv"),

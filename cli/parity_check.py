@@ -91,6 +91,20 @@ def parse_args():
                         "hundred samples — pipeline validation only")
     p.add_argument("--skip_fisher", action="store_true",
                    help="unlearn without the saliency mask stage")
+    # memory-policy knobs (round-4 bench config spellings — cli/forget.py /
+    # cli/nsfw_removal.py): the parity-checked run must be able to use the
+    # SAME policy the bench measures, or the parity claim covers a config
+    # nobody benches
+    p.add_argument("--pack_mask", action="store_true",
+                   help="bit-pack the saliency mask (1 bit/elem; the "
+                        "benched DiT/SD memory policy)")
+    p.add_argument("--nu_dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="Adam second-moment dtype (bf16 halves it)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize UNet res blocks in the backward "
+                        "(model.remat — the convnet analogue of the DiT "
+                        "remat_policy knob)")
     p.add_argument("--seed", type=int, default=1234)
     return p.parse_args()
 
@@ -133,6 +147,8 @@ def main():
         args.n_probe = 32
         args.sample_steps = 10
 
+    if args.remat:
+        config.model.remat = True
     run_args = types.SimpleNamespace(
         ckpt_folder=args.artifacts if art["ddpm_ckpt"] else "",
         label_to_forget=args.label_to_forget,
@@ -141,6 +157,8 @@ def main():
         decay_forget_alpha=False,
         method="ron", unlearn_loss="adaga",
         mask_path="", seed=args.seed,
+        pack_mask=args.pack_mask,
+        nu_dtype=jnp.bfloat16 if args.nu_dtype == "bf16" else None,
     )
 
     # 1) Fisher + saliency mask (DDPM/README.md:49-53)

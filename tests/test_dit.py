@@ -95,8 +95,8 @@ def test_sincos_pos_embed_range():
 
 @pytest.mark.slow  # fast-gate budget: moved after the r3 gate audit
 def test_remat_policy_grad_parity(tiny_dit):
-    """remat_policy options (None / dots / attn) change only what the
-    backward saves, never the gradients."""
+    """remat_policy options (None / dots / attn / attn+dots) change only
+    what the backward saves, never the gradients."""
     from uurg_tpu.models.dit import DiT
 
     _, params = tiny_dit
@@ -104,10 +104,10 @@ def test_remat_policy_grad_parity(tiny_dit):
     t = jnp.zeros((2,), jnp.int32)
     y = jnp.zeros((2,), jnp.int32)
     sums = []
-    for pol in (None, "dots", "attn"):
+    for pol in (None, "dots", "attn", "attn+dots"):
         model = DiT(dataclasses.replace(TINY, remat_policy=pol))
         g = jax.grad(lambda p: model.apply({"params": p}, x, t, y).sum())(
             params)
         sums.append(float(jax.tree_util.tree_reduce(
             lambda a, b: a + jnp.abs(b).sum(), g, 0.0)))
-    assert sums[0] == sums[1] == sums[2], sums
+    assert len(set(sums)) == 1, sums

@@ -162,9 +162,12 @@ def make_optimizer(
     raise NotImplementedError(f"Optimizer {name!r}")
 
 
-def build_reference_optimizer(cfg) -> optax.GradientTransformation:
+def build_reference_optimizer(cfg, mu_dtype=None,
+                              nu_dtype=None) -> optax.GradientTransformation:
     """From a reference-schema ``optim`` config section
-    (DDPM/functions/__init__.py get_optimizer parity)."""
+    (DDPM/functions/__init__.py get_optimizer parity). ``mu_dtype`` /
+    ``nu_dtype`` are the memory-policy knobs (halve the Adam moments;
+    adam/adamw only — amsgrad raises, see _adam_l2)."""
     o = cfg.optim
     return make_optimizer(
         o.optimizer,
@@ -173,4 +176,6 @@ def build_reference_optimizer(cfg) -> optax.GradientTransformation:
         beta1=o.get("beta1", 0.9),
         eps=o.get("eps", 1e-8),
         amsgrad=o.get("amsgrad", False),
+        mu_dtype=mu_dtype,
+        nu_dtype=nu_dtype,
     )

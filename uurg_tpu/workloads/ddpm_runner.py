@@ -289,8 +289,16 @@ def sfron_forget(args, config, ckpt_dir: str,
         # bool: 1 byte/elem in HBM; tree_mul casts at the multiply site
         mask = jax.tree_util.tree_map(
             lambda m: jnp.asarray(m, jnp.bool_), mask)
+        if getattr(args, "pack_mask", False):
+            # bit-plane layout: 1 bit/elem (the DiT/SD --pack_mask knob,
+            # threaded here so the parity kit can run the benched memory
+            # policy end to end)
+            from uurg_tpu.core.tree import pack_mask as _pack
 
-    opt = build_reference_optimizer(config)
+            mask = _pack(mask)
+
+    opt = build_reference_optimizer(
+        config, nu_dtype=getattr(args, "nu_dtype", None))
     sf_cfg = SFRonConfig(
         n_iters=config.training.n_iters,
         forget_alpha=args.forget_alpha,
