@@ -46,7 +46,7 @@ DESCRIPTIONS = {
         "(the e2e/device gap is this box's tunnel bound)",
     "dit_xl2_sfron_step_b16":
         "DiT-XL/2 (675M) SFR-on two-phase step, batch 16 latents "
-        "(bf16 Adam mu+nu, bf16 EMA, bit-packed mask, dots remat; "
+        "(bf16 Adam mu+nu, bf16 EMA, bit-packed mask, attn+dots remat; "
         "one 16GB chip)",
     "sd_unet_nsfw_step_b4_xattn":
         "SD-v1 UNet (860M) nsfw_removal two-phase step, batch 4, "
@@ -94,18 +94,23 @@ def newest_record():
 
 def curated_lags_driver():
     """Return the offending driver filename if BENCH_measured.json exists
-    but its payload differs from the NEWEST driver record with a parsed
-    payload — i.e. a bench round ran and nobody adopted it. Adoption is a
-    verbatim copy of ``parsed``, so exact equality is the right test
-    (values jitter run-to-run, but the curated record IS a past run)."""
+    but a NEWER driver record (mtime) with a parsed payload differs from
+    it — i.e. a bench round ran after the last adoption and nobody adopted
+    it. Adoption is a verbatim copy of ``parsed``, so exact equality is
+    the right content test (values jitter run-to-run, but the curated
+    record IS a past run); the mtime guard keeps a freshly-adopted
+    direct bench run (curated ahead of the last driver round) green."""
     measured = os.path.join(ROOT, "BENCH_measured.json")
     if not os.path.exists(measured):
         return None
     cur, _ = load_record(measured)
+    m_mtime = os.path.getmtime(measured)
     for p in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
                     reverse=True):
         rec, label = load_record(p)
         if rec is not None and rec.get("all"):
+            if os.path.getmtime(p) <= m_mtime:
+                return None  # curated is as new as the newest driver round
             return label if rec != cur else None
     return None
 
