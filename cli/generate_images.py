@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from sd_common import setup_workload  # noqa: E402
 
 
-def main():
+def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--prompts_path", type=str, required=True)
     p.add_argument("--save_path", type=str, required=True)
@@ -35,7 +35,11 @@ def main():
     p.add_argument("--guidance_scale", type=float, default=7.5)
     p.add_argument("--image_size", type=int, default=512)
     p.add_argument("--from_case", type=int, default=0)
-    args = p.parse_args()
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
     logging.basicConfig(level=logging.INFO)
 
     import jax

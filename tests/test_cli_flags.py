@@ -155,3 +155,35 @@ def test_forget_memory_policy_flags(monkeypatch):
     m2 = _load("nsfw_removal")
     a = _parse(m2, ["--nu_dtype", "bf16", "--pack_mask"], monkeypatch)
     assert a.nu_dtype == "bf16" and a.pack_mask
+
+
+def test_generate_images_sampler_choices(monkeypatch):
+    """The image-gen evaluator exposes all three reference sampler
+    protocols, including the diffusers-LMS one (round-5;
+    SD/eval-scripts/generate-images.py)."""
+    m = _load("generate_images")
+    for s in ("ddim", "plms", "lms"):
+        a = _parse(m, ["--prompts_path", "p.csv", "--save_path", "out",
+                       "--sampler", s], monkeypatch)
+        assert a.sampler == s
+    a = _parse(m, ["--prompts_path", "p.csv", "--save_path", "out"],
+               monkeypatch)
+    assert a.sampler == "ddim"
+
+
+def test_parity_check_memory_policy_flags(monkeypatch):
+    """The parity kit accepts the benched memory-policy knobs, so the
+    parity-checked config can BE the benched config (round-5)."""
+    m = _load("parity_check")
+    a = _parse(m, ["--pack_mask", "--nu_dtype", "bf16", "--remat"],
+               monkeypatch)
+    assert a.pack_mask and a.nu_dtype == "bf16" and a.remat
+    a = _parse(m, [], monkeypatch)
+    assert not a.pack_mask and a.nu_dtype == "f32" and not a.remat
+
+
+def test_main_random_synthetic_noise_flags(monkeypatch):
+    m = _load("main_random")
+    a = _parse(m, ["--synthetic_noise", "0.5", "--pretrain_lr", "0.05"],
+               monkeypatch)
+    assert a.synthetic_noise == 0.5 and a.pretrain_lr == 0.05
