@@ -15,6 +15,12 @@ Round-5 results (v5e, 10-step timing after AOT compile):
     dots32/attndots32: compile exceeded the 30-min relay budget; per-image
     flatness at b24 already shows the step is matmul-bound, not
     occupancy-bound — batch scaling is a measured NEGATIVE.
+    none16 (remat wrapper dropped entirely): OOM — XLA's keep-everything
+    layout does not fit even with the freed 1.9GB.
+    bf16ln16 (attn+dots + norm_dtype=bf16): 3.197 steps/s — NEGATIVE:
+    XLA already fuses the LN/modulate elementwise chains into the
+    adjacent matmuls, so halving their nominal dtype only inserts casts;
+    the fused-adaLN family of candidates is not where the residual is.
 
 Run one variant per process (fresh HBM):
     python scripts/exp_dit_remat.py base|attn|dots16|attn16
@@ -56,6 +62,9 @@ VARIANTS = {
     # (attn+dots still recomputes the elementwise/LN chains in bwd —
     # breakdown measures that at ~16ms/phase of the 310ms step)
     "none16":     ("off",       jnp.bfloat16, True, 16),
+    # bf16 LN+modulate chains on top of attn+dots: halves the per-block
+    # elementwise HBM traffic (stats stay f32 inside flax)
+    "bf16ln16":   ("attn+dots+bf16ln", jnp.bfloat16, True, 16),
 }
 
 
@@ -70,6 +79,9 @@ def main(variant: str, n_steps=10):
 
     if policy == "off":  # drop the nn.remat wrapper entirely
         wl = DiTWorkload.build("DiT-XL/2", remat=False)
+    elif policy == "attn+dots+bf16ln":
+        wl = DiTWorkload.build("DiT-XL/2", remat_policy="attn+dots",
+                               norm_dtype=jnp.bfloat16)
     else:
         wl = DiTWorkload.build("DiT-XL/2", remat_policy=policy)
     print(f"[{variant}] init params...", file=sys.stderr, flush=True)

@@ -111,3 +111,21 @@ def test_remat_policy_grad_parity(tiny_dit):
         sums.append(float(jax.tree_util.tree_reduce(
             lambda a, b: a + jnp.abs(b).sum(), g, 0.0)))
     assert len(set(sums)) == 1, sums
+
+
+def test_norm_dtype_bf16_close_to_f32(tiny_dit):
+    """norm_dtype=bf16 (halved LN/modulate HBM traffic) must track the f32
+    chain closely — LN statistics stay f32 inside flax, so the only loss
+    is bf16 rounding of normalized activations."""
+    from uurg_tpu.models.dit import DiT
+
+    _, params = tiny_dit
+    x = jax.random.normal(jax.random.key(3), (2, 8, 8, 4))
+    t = jnp.asarray([1, 7])
+    y = jnp.asarray([0, 3])
+    ref = DiT(TINY).apply({"params": params}, x, t, y)
+    out = DiT(dataclasses.replace(TINY, norm_dtype=jnp.bfloat16)).apply(
+        {"params": params}, x, t, y)
+    err = float(jnp.abs(out - ref).max())
+    scale = float(jnp.abs(ref).max())
+    assert err <= 0.03 * max(scale, 1.0), (err, scale)

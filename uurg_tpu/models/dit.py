@@ -91,23 +91,30 @@ class DiTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: Dtype = jnp.bfloat16
+    # dtype of the LN+modulate elementwise chains between the matmuls.
+    # f32 matches the reference bit-for-bit; bf16 halves that HBM traffic
+    # (LN statistics stay f32 either way — flax computes reduction stats
+    # in at-least-f32). Perf measured on v5e: see scripts/exp_dit_remat.py
+    norm_dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+        nd = self.norm_dtype
         mods = nn.Dense(6 * self.hidden, dtype=jnp.float32,
                         kernel_init=nn.initializers.zeros,
                         name="adaLN_modulation")(jax.nn.silu(c))
         (shift_msa, scale_msa, gate_msa,
-         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mods, 6, axis=-1)
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(
+            mods.astype(nd), 6, axis=-1)
 
-        h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32,
-                         name="norm1")(x.astype(jnp.float32))
+        h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=nd,
+                         name="norm1")(x.astype(nd))
         h = modulate(h, shift_msa, scale_msa).astype(self.dtype)
         x = x + gate_msa[:, None, :].astype(self.dtype) * MHSA(
             self.num_heads, self.dtype, name="attn")(h)
 
-        h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32,
-                         name="norm2")(x.astype(jnp.float32))
+        h = nn.LayerNorm(use_bias=False, use_scale=False, dtype=nd,
+                         name="norm2")(x.astype(nd))
         h = modulate(h, shift_mlp, scale_mlp).astype(self.dtype)
         mlp_dim = int(self.hidden * self.mlp_ratio)
         h = nn.Dense(mlp_dim, dtype=self.dtype, name="mlp_fc1")(h)
@@ -140,6 +147,7 @@ class DiTConfig:
                                    # identical blocks compile ONCE (order-of-
                                    # magnitude compile-time win on TPU)
     remat: bool = True             # rematerialize block activations in bwd
+    norm_dtype: Any = jnp.float32  # LN+modulate chain dtype (see DiTBlock)
     remat_policy: str | None = None  # None = full remat; "dots" saves MXU
                                    # (matmul) outputs and recomputes only
                                    # elementwise/norm work in the backward
@@ -208,11 +216,11 @@ class DiT(nn.Module):
                 in_axes=nn.broadcast,
             )
             h, _ = scan(D, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
-                        name="blocks")(h, c)
+                        cfg.norm_dtype, name="blocks")(h, c)
         else:
             for i in range(cfg.depth):
                 h = DiTBlock(D, cfg.num_heads, cfg.mlp_ratio, cfg.dtype,
-                             name=f"block_{i}")(h, c)
+                             cfg.norm_dtype, name=f"block_{i}")(h, c)
 
         # final adaLN + zero-init linear to p*p*outC
         out_c = C * 2 if cfg.learn_sigma else C
