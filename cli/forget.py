@@ -88,33 +88,15 @@ def main():
     logging.basicConfig(level=logging.INFO)
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from uurg_tpu.utils.rng import configure_rng
 
     configure_rng("auto")
-    from uurg_tpu.data import class_forget_split, synthetic_dataset
-    from uurg_tpu.data.arrays import infinite_batches
+    from cli.dit_common import build_workload, forget_remain_iterators
     from uurg_tpu.io.checkpoint import restore_checkpoint
-    from uurg_tpu.workloads.dit import DiTWorkload
     from uurg_tpu.workloads.dit_runner import dit_forget
 
-    wl = DiTWorkload.build(
-        args.model, args.image_size, args.num_classes,
-        remat_policy=None if args.remat_policy == "full"
-        else args.remat_policy)
-    params = wl.init_params(jax.random.key(args.global_seed))
-    if args.ckpt:
-        if args.ckpt.endswith((".pt", ".pth", ".ckpt")):
-            from uurg_tpu.io.dit_interop import load_dit_reference_checkpoint
-
-            params = jax.tree_util.tree_map(
-                jnp.asarray,
-                load_dit_reference_checkpoint(args.ckpt, wl.cfg))
-        else:
-            ck = restore_checkpoint(args.ckpt,
-                                    {"model": params, "ema": params})
-            params = ck["model"]
+    wl, params = build_workload(args)
 
     mask = None
     if args.mask_path:
@@ -124,76 +106,7 @@ def main():
         mask = jax.tree_util.tree_map(lambda m: jnp.asarray(m, jnp.bool_),
                                       mask)
 
-    # data tiers (all stream without holding the corpus in RAM):
-    #   dir of npz shards  -> sharded latent reader (ImageNet-256 scale)
-    #   single .npz        -> in-memory latents
-    #   image folder       -> lazy per-batch decode + frozen-VAE encode in
-    #                         the loop (DiT/forget.py:265-267 parity)
-    latent_size = args.image_size // 8
-    from uurg_tpu.data.lazy import (
-        LazyImageFolder,
-        list_latent_shards,
-        sharded_latent_batches,
-    )
-
-    def device_stream(it):
-        for x, y in it:
-            yield jnp.asarray(x), jnp.asarray(y)
-
-    shards = list_latent_shards(args.data_path) if args.data_path else []
-    is_image_folder = (args.data_path and os.path.isdir(args.data_path)
-                       and not shards)
-
-    # a shard DIR (even with one file) streams; a bare .npz loads in-memory
-    use_sharded = len(shards) > 1 or (
-        len(shards) == 1 and os.path.isdir(args.data_path))
-    if use_sharded:
-        forget_it = device_stream(sharded_latent_batches(
-            shards, args.global_batch_size, seed=args.global_seed,
-            keep_label=lambda y: y == args.label_to_forget))
-        remain_it = device_stream(sharded_latent_batches(
-            shards, args.global_batch_size, seed=args.global_seed + 1,
-            keep_label=lambda y: y != args.label_to_forget))
-    else:
-        if shards:  # single npz, in-memory
-            data = np.load(shards[0])
-            from uurg_tpu.data.arrays import ArrayDataset
-
-            ds = ArrayDataset(data["latents"], data["labels"])
-        elif is_image_folder:
-            ds = LazyImageFolder(args.data_path, args.image_size)
-        else:
-            logging.warning("no latent dataset; synthetic latents")
-            ds = synthetic_dataset(1024, latent_size, 4, args.num_classes,
-                                   args.global_seed)
-        remain, forget = class_forget_split(ds, args.label_to_forget)
-
-        if is_image_folder:
-            # jitted frozen-VAE encode per batch
-            from uurg_tpu.io.checkpoint import restore_checkpoint as _rc
-            from uurg_tpu.models.autoencoder_kl import AutoencoderKL, init_vae
-
-            vae, vae_params = init_vae(jax.random.key(0),
-                                       resolution=args.image_size)
-            if getattr(args, "vae_ckpt", ""):
-                vae_params = _rc(args.vae_ckpt, vae_params)
-            enc = jax.jit(lambda x, k: vae.apply(
-                {"params": vae_params}, x, k, method=AutoencoderKL.encode))
-
-            def batches(d, seed):
-                key = jax.random.key(seed)
-                for x, y in infinite_batches(d, args.global_batch_size,
-                                             seed=seed):
-                    key, sub = jax.random.split(key)
-                    yield enc(jnp.asarray(x * 2.0 - 1.0), sub), jnp.asarray(y)
-
-            forget_it = batches(forget, args.global_seed)
-            remain_it = batches(remain, args.global_seed + 1)
-        else:
-            forget_it = device_stream(infinite_batches(
-                forget, args.global_batch_size, seed=args.global_seed))
-            remain_it = device_stream(infinite_batches(
-                remain, args.global_batch_size, seed=args.global_seed + 1))
+    forget_it, remain_it = forget_remain_iterators(args)
 
     mesh = None
     if args.mesh:

@@ -18,6 +18,8 @@ SCRIPTS = [
     "proximal_gradient.py", "sd_generate_fisher.py", "generate_images.py",
     "convert_inception.py", "export_torch.py", "compute_fid.py",
     "imageclassify.py", "encode_latents.py", "dit_sample.py",
+    "dit_generate_fisher.py", "dit_generate_mask.py",
+    "generate_fisher_mask.py",
 ]
 
 

@@ -187,3 +187,77 @@ def test_main_random_synthetic_noise_flags(monkeypatch):
     a = _parse(m, ["--synthetic_noise", "0.5", "--pretrain_lr", "0.05"],
                monkeypatch)
     assert a.synthetic_noise == 0.5 and a.pretrain_lr == 0.05
+
+
+def test_dit_generate_fisher_reference_flags(monkeypatch):
+    """Standalone DiT Fisher CLI accepts the reference spellings
+    (DiT/generate_fisher.py:296-316)."""
+    m = _load("dit_generate_fisher")
+    a = _parse(m, ["--data-path", "d", "--model", "DiT-XL/2",
+                   "--batch-size", "4", "--ckpt", "c.pt",
+                   "--n-iters", "100", "--forget-class", "3",
+                   "--mask-path", "m", "--seed", "7"], monkeypatch)
+    assert a.label_to_forget == 3 and a.global_batch_size == 4
+    assert a.n_iters == 100 and a.global_seed == 7
+    assert a.mask_path == "m" and a.ckpt == "c.pt"
+
+
+def test_dit_generate_mask_reference_flags(monkeypatch):
+    """Standalone DiT mask CLI accepts the reference spellings incl. the
+    multi-class / multi-threshold lists (DiT/generate_mask.py:48-56)."""
+    m = _load("dit_generate_mask")
+    a = _parse(m, ["--mask-path", "m", "--forget-class", "1", "2",
+                   "--thresholds", "0.5", "1", "3"], monkeypatch)
+    assert a.forget_class == [1, 2]
+    assert a.thresholds == [0.5, 1.0, 3.0]
+    a = _parse(m, ["--mask-path", "m", "--forget-class", "0"], monkeypatch)
+    assert a.thresholds == [0.5, 1, 3, 5, 10]
+
+
+def test_generate_fisher_mask_reference_flags(monkeypatch):
+    """Standalone mask CLI accepts the reference spellings shared by
+    DDPM/generate_fisher_mask.py:17-25 and
+    SD/train-scripts/generate_fisher_mask.py:17-25."""
+    m = _load("generate_fisher_mask")
+    a = _parse(m, ["--ckpt_folder", "f", "--threshold", "1.0"], monkeypatch)
+    assert a.ckpt_folder == "f" and a.threshold == [1.0]
+    a = _parse(m, ["--ckpt_folder", "f", "--threshold", "0.5", "2"],
+               monkeypatch)
+    assert a.threshold == [0.5, 2.0]
+
+
+@pytest.mark.slow
+def test_generate_fisher_mask_cli_end_to_end(tmp_path):
+    """Threshold EXISTING Fisher artifacts without recomputing, detecting
+    both folder layouts (DDPM {forget,remain}_fisher -> fisher_<th>; SD
+    nude_{forget,remain} -> nude_mask_<th>)."""
+    import subprocess
+
+    import numpy as np
+
+    from uurg_tpu.io.checkpoint import save_checkpoint
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    tree = {"w": np.abs(np.random.default_rng(0).random((4, 4))
+                        .astype("f4")) + 0.1}
+    half = {k: v * 0.5 for k, v in tree.items()}
+
+    ddpm = tmp_path / "ddpm"
+    save_checkpoint(str(ddpm / "forget_fisher"), tree)
+    save_checkpoint(str(ddpm / "remain_fisher"), half)
+    out = subprocess.run(
+        [sys.executable, os.path.join(CLI, "generate_fisher_mask.py"),
+         "--ckpt_folder", str(ddpm), "--threshold", "1.0"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert (ddpm / "fisher_1.0").is_dir()
+
+    sd = tmp_path / "sd"
+    save_checkpoint(str(sd / "nude_forget"), tree)
+    save_checkpoint(str(sd / "nude_remain"), half)
+    out = subprocess.run(
+        [sys.executable, os.path.join(CLI, "generate_fisher_mask.py"),
+         "--ckpt_folder", str(sd), "--threshold", "0.5", "1.0"],
+        capture_output=True, text=True, timeout=600, env=env)
+    assert out.returncode == 0, out.stderr[-1500:]
+    assert (sd / "nude_mask_0.5").is_dir() and (sd / "nude_mask_1.0").is_dir()

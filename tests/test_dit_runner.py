@@ -301,3 +301,36 @@ def test_dit_forget_memory_policy_knobs(wl):
                                 jax.tree_util.tree_leaves(init)))
     assert moved > 0
     assert div < 0.25 * moved, (div, moved)
+
+
+@pytest.mark.slow
+def test_dit_fisher_mask_cli_end_to_end(tmp_path):
+    """The standalone reference-layout CLIs chain: dit_generate_fisher.py
+    writes <mask-path>/<cls>/{forget,remain}_fisher, dit_generate_mask.py
+    thresholds them into <mask-path>/<cls>/fisher_<th>
+    (DiT/generate_fisher.py:251,291; DiT/generate_mask.py:17-46)."""
+    import os
+    import subprocess
+    import sys
+
+    cli = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "cli")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    mask_root = str(tmp_path / "mask")
+    out = subprocess.run(
+        [sys.executable, os.path.join(cli, "dit_generate_fisher.py"),
+         "--model", "DiT-S/8", "--num-classes", "4", "--n-iters", "1",
+         "--batch-size", "2", "--forget-class", "0",
+         "--mask-path", mask_root],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.isdir(os.path.join(mask_root, "0", "forget_fisher"))
+    assert os.path.isdir(os.path.join(mask_root, "0", "remain_fisher"))
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(cli, "dit_generate_mask.py"),
+         "--mask-path", mask_root, "--forget-class", "0",
+         "--thresholds", "1.0"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert os.path.isdir(os.path.join(mask_root, "0", "fisher_1.0"))
