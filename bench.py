@@ -17,6 +17,10 @@ Also measured (round-3: regressions in ANY headline claim become visible):
   - dit_xl2_sfron_step_b16        steps/sec, DiT-XL/2 675M two-phase step
   - sd_unet_nsfw_step_b4_xattn    steps/sec, SD 860M nsfw_removal step
   - sd_unet_nsfw_step_b4_full     steps/sec, same step, full-parameter path
+  - sd_unet_nsfw_step_b8_{xattn,full}  steps/sec, batch-8 variants
+    (round-5: +18%/+24% per-image over b4 at 50%/47% MFU — SD is
+    occupancy-bound at b4, unlike the matmul-bound DiT step where batch
+    was a measured negative)
 
 ``--mesh data=N`` additionally shards the headline DDPM step over N local
 devices (..._meshN metric) — no-op at N=1, free scaling numbers on any
@@ -29,7 +33,7 @@ printed as its own JSON line THE MOMENT the DDPM bench completes; a final
 combined line (same dict + an "all" array carrying every metric, failed
 benches recording an "error" field) follows when the suite finishes. The
 in-progress record is additionally mirrored to BENCH_partial.json after
-every bench. A ``--budget`` wall-clock guard (default 1200s, env
+every bench. A ``--budget`` wall-clock guard (default 2400s, env
 BENCH_BUDGET_SEC) skips benches after the headline once exceeded
 (recorded as {"error": "budget"}) instead of being killed mid-bench.
 
@@ -84,6 +88,9 @@ _EST = {
     # full-parameter path: torch backward reaches every param and Adam
     # updates all 860M (xattn freezes ~90% of the update work) -> ~0.8
     "sd_unet_nsfw_step_b4_full": 0.8,                  # steps/sec
+    # b8 variants: same est. imgs/sec as b4, so half the steps/sec
+    "sd_unet_nsfw_step_b8_xattn": 0.5,                 # steps/sec
+    "sd_unet_nsfw_step_b8_full": 0.4,                  # steps/sec
 }
 
 
@@ -146,6 +153,38 @@ def _abstract(tree):
     return jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), a.dtype)
         if hasattr(a, "dtype") else a, tree)
+
+
+_FLOPS_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FLOPS_CACHE.json")
+
+
+def _flops_cached(key: str, thunk):
+    """Persist FLOPs across bench runs (BENCH_FLOPS_CACHE.json).
+
+    FLOPs are deterministic for a fixed (metric, shape) program, but the
+    CPU-backend costing compile behind _lowered_flops is NOT covered by the
+    jax compilation cache and costs minutes at 860M scale — without this,
+    every bench run pays it again and the default-budget driver run
+    budget-skips the tail of the suite. Keys encode batch/config (they are
+    metric names or metric-derived); delete the file after model-code
+    changes that alter the math — the next run regenerates it."""
+    try:
+        with open(_FLOPS_CACHE) as f:
+            cache = json.load(f)
+    except (OSError, ValueError):
+        cache = {}
+    if key in cache:
+        return cache[key]["flops"]
+    flops = thunk()
+    if flops:
+        cache[key] = {"flops": flops, "jax": jax.__version__}
+        try:
+            with open(_FLOPS_CACHE, "w") as f:
+                json.dump(cache, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
+    return flops
 
 
 def _lowered_flops(fn, *args):
@@ -388,9 +427,14 @@ def bench_classification(batch=256, chunk=50, n_chunks=6):
     s_abs = init_state(params, opt, model_state=batch_stats)
     b_abs = (jnp.zeros((batch, 32, 32, 3), jnp.bfloat16),
              jnp.zeros((batch,), jnp.int32))
-    fl_full = _lowered_flops(step_full, s_abs, b_abs, b_abs,
-                             jax.random.key(0))
-    fl_off = _lowered_flops(step_off, s_abs, b_abs, b_abs, jax.random.key(0))
+    fl_full = _flops_cached(
+        f"classification_sfron_b{batch}:full",
+        lambda: _lowered_flops(step_full, s_abs, b_abs, b_abs,
+                               jax.random.key(0)))
+    fl_off = _flops_cached(
+        f"classification_sfron_b{batch}:off",
+        lambda: _lowered_flops(step_off, s_abs, b_abs, b_abs,
+                               jax.random.key(0)))
     flops_it = None
     if fl_full and fl_off:
         flops_it = fl_off + (fl_full - fl_off) / cfg.forget_freq
@@ -524,9 +568,12 @@ def bench_dit_xl(batch=16, n_steps=10):
             jax.random.key(0))["params"]
         x_abs = jax.ShapeDtypeStruct((batch, sz, sz, ch), jnp.float32)
         i_abs = jax.ShapeDtypeStruct((batch,), jnp.int32)
-        return _lowered_flops(
-            lambda p, x, t, y: m.apply({"params": p}, x, t, y),
-            p_abs, x_abs, i_abs, i_abs)
+        return _flops_cached(
+            f"dit_{wl.cfg.hidden_size}h_p{wl.cfg.patch_size}"
+            f"_fwd_depth{d}_b{batch}",
+            lambda: _lowered_flops(
+                lambda p, x, t, y: m.apply({"params": p}, x, t, y),
+                p_abs, x_abs, i_abs, i_abs))
 
     f1, f2 = _fwd_flops_at_depth(1), _fwd_flops_at_depth(2)
     flops = 6 * (f1 + (f2 - f1) * (wl.cfg.depth - 1)) if f1 and f2 else None
@@ -587,10 +634,15 @@ def bench_sd(batch=4, n_steps=10, train_method="xattn"):
     # be a FRESH unjitted step — the jitted one has already cached its
     # traced jaxpr WITH the pallas call from the TPU compile above, and
     # xla_only can only steer a fresh trace.
-    step_cost = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
-                                wl.shared_step_loss, donate=False, jit=False)
-    flops = _lowered_flops(step_cost, _abstract(state), fb, rb,
-                           jax.random.key(3)) or flops_tpu
+    def _cost():
+        step_cost = make_sfron_step(cfg, opt, wl.nsfw_forget_loss_fn(),
+                                    wl.shared_step_loss, donate=False,
+                                    jit=False)
+        return _lowered_flops(step_cost, _abstract(state), fb, rb,
+                              jax.random.key(3))
+
+    flops = _flops_cached(f"sd_unet_nsfw_step_b{batch}_{train_method}",
+                          _cost) or flops_tpu
     state, _ = step_c(state, fb, rb, jax.random.key(3))
     _sync(state.params)
     t0 = time.perf_counter()
@@ -610,6 +662,8 @@ BENCHES = [
     ("dit", bench_dit_xl),
     ("sd", bench_sd),
     ("sd_full", lambda: bench_sd(train_method="full")),
+    ("sd_b8", lambda: bench_sd(batch=8)),
+    ("sd_b8_full", lambda: bench_sd(batch=8, train_method="full")),
 ]
 
 
@@ -638,7 +692,7 @@ def main():
                          "bench; on a multi-chip allotment this gives the "
                          "driver scaling numbers with no code change")
     ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("BENCH_BUDGET_SEC", "1200")),
+                    default=float(os.environ.get("BENCH_BUDGET_SEC", "2400")),
                     help="wall-clock budget (sec). The headline DDPM bench "
                          "always runs; later benches are skipped once the "
                          "budget is exceeded, recorded as error='budget' — "

@@ -153,3 +153,41 @@ def test_readme_bench_table_fresh():
          "--check"], capture_output=True, text=True, timeout=60)
     assert out.returncode == 0, (
         f"{out.stderr}\nfix: python scripts/render_bench_table.py --adopt")
+
+
+def _load_renderer():
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "render_bench_table",
+        os.path.join(root, "scripts/render_bench_table.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_records_consistent_tolerates_rerun_jitter():
+    """The end-of-round driver bench re-runs the adopted configuration and
+    jitters a few percent; that must NOT read as staleness (there is no
+    record to adopt before the driver writes it). Budget-skipped rows in a
+    partial driver record contradict nothing either."""
+    mod = _load_renderer()
+    cur = {"all": [
+        {"metric": "a", "value": 10.0}, {"metric": "b", "value": 100.0}]}
+    rerun = {"all": [
+        {"metric": "a", "value": 10.4},          # +4% jitter
+        {"metric": "b", "error": "budget"}]}     # partial: skipped row
+    assert mod.records_consistent(cur, rerun)
+
+
+def test_records_consistent_flags_real_staleness():
+    """A >REL_TOL drift (regression or unadopted improvement) or a metric the
+    curated record never adopted is REAL staleness and must fail."""
+    mod = _load_renderer()
+    cur = {"all": [{"metric": "a", "value": 10.0}]}
+    assert not mod.records_consistent(
+        cur, {"all": [{"metric": "a", "value": 7.0}]})       # -30% drift
+    assert not mod.records_consistent(
+        cur, {"all": [{"metric": "new", "value": 5.0}]})     # unadopted
